@@ -1,0 +1,113 @@
+"""Resumable superstep checkpointing (north-rule requirement).
+
+Every iterative algorithm (PageRank / CC / affinity) drives its loop
+through a :class:`SuperstepLedger`:
+
+  - each superstep appends a JSON line
+    ``{algo, superstep, metric, n_active, partitions, state_path, wall_s}``
+    to ``<dir>/ledger.jsonl`` — the per-partition lineage + convergence
+    record the north rule asks for;
+  - every ``every`` supersteps the state DataFrame is written to
+    Parquet under ``<dir>/state_<n>/`` (an atomic rename-free write —
+    Spark writes a _SUCCESS marker we verify on resume);
+  - :meth:`resume` returns (last_checkpointed_superstep, state_df) so a
+    re-launched driver continues where the previous run stopped.
+
+This replaces lineage-truncating ``localCheckpoint()`` with a durable
+artifact (the semantic analog of the reference's per-round graph
+compression, parallel_affinity.cc:120-126, which also re-materializes
+state each round).  When no durability is wanted, pass ``directory=None``
+and the ledger degrades to in-memory metrics + ``localCheckpoint``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SuperstepLedger:
+    algo: str
+    directory: str | None = None
+    every: int = 5
+    records: list[dict] = field(default_factory=list)
+    _t0: float = field(default_factory=time.monotonic)
+
+    def __post_init__(self) -> None:
+        if self.directory:
+            os.makedirs(self.directory, exist_ok=True)
+
+    @property
+    def ledger_path(self) -> str | None:
+        return os.path.join(self.directory, "ledger.jsonl") if self.directory else None
+
+    def _state_path(self, superstep: int) -> str:
+        assert self.directory
+        return os.path.join(self.directory, f"state_{superstep:06d}")
+
+    def record(
+        self,
+        superstep: int,
+        state: DataFrame,
+        metric: float,
+        n_active: int,
+        force_checkpoint: bool = False,
+    ) -> DataFrame:
+        """Log one superstep; persist state every ``every`` steps.
+
+        Returns the state DataFrame to keep using — re-read from Parquet
+        when checkpointed (cuts lineage AND survives driver restart),
+        else localCheckpoint'ed (cuts lineage only).
+        """
+        now = time.monotonic()
+        wall = now - self._t0
+        self._t0 = now
+        checkpointed = self.directory and (force_checkpoint or superstep % self.every == 0)
+        rec = {
+            "algo": self.algo,
+            "superstep": superstep,
+            "metric": float(metric),
+            "n_active": int(n_active),
+            "partitions": state.rdd.getNumPartitions(),
+            "state_path": self._state_path(superstep) if checkpointed else None,
+            "wall_s": round(wall, 4),
+        }
+        self.records.append(rec)
+        if checkpointed:
+            path = self._state_path(superstep)
+            state.write.mode("overwrite").parquet(path)
+            out = state.sparkSession.read.parquet(path)
+        else:
+            out = state.localCheckpoint(eager=True)
+        if self.ledger_path:
+            with open(self.ledger_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return out
+
+    @classmethod
+    def resume(cls, spark: SparkSession, algo: str, directory: str) -> tuple[int, DataFrame] | None:
+        """Load the latest durable state for ``algo`` under ``directory``.
+
+        Returns ``(superstep, state_df)`` or None when nothing usable
+        exists (fresh start)."""
+        path = os.path.join(directory, "ledger.jsonl")
+        if not os.path.exists(path):
+            return None
+        best: dict | None = None
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("algo") != algo or not rec.get("state_path"):
+                    continue
+                marker = os.path.join(rec["state_path"], "_SUCCESS")
+                if os.path.exists(marker):
+                    if best is None or rec["superstep"] > best["superstep"]:
+                        best = rec
+        if best is None:
+            return None
+        return best["superstep"], spark.read.parquet(best["state_path"])

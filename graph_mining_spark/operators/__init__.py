@@ -1,0 +1,12 @@
+from graph_mining_spark.operators.connected_components import connected_components
+from graph_mining_spark.operators.pagerank import pagerank
+from graph_mining_spark.operators.triangles import triangle_counts
+from graph_mining_spark.operators.affinity import affinity_cluster, AffinityConfig
+
+__all__ = [
+    "connected_components",
+    "pagerank",
+    "triangle_counts",
+    "affinity_cluster",
+    "AffinityConfig",
+]

@@ -1,0 +1,118 @@
+"""Connected components via delta hash-to-min + pointer jumping.
+
+Reference semantics: asynchronous union-find with component id = the
+MINIMUM node id in the component
+(/root/reference/in_memory/connected_components/asynchronous_union_find.h:44-49,
+connected_components_graph.h:38-117).  Shared-memory atomic union-find
+does not transfer to a cluster, so we compute the same fixpoint with a
+label-propagation iteration (SURVEY.md §2.2):
+
+  superstep t:
+    (1) neighbor-min : label[v] ← min(label[v], min_{u∈N(v), u changed} label[u])
+    (2) pointer jump : label[v] ← label[label[v]]   (path-halving analog of
+                       union-find's path compression)
+
+Invariants: label[v] ≤ v, label values stay inside v's component, labels
+are non-increasing — so the fixpoint assigns every vertex the minimum
+vid of its component, exactly the reference's canonical labeling.
+
+Scale design:
+  - the edge table is hash-partitioned by ``src`` ONCE and persisted;
+    each superstep only shuffles the (much smaller) label table;
+  - step (1) is delta-based: only labels that changed last round are
+    joined against the edge table, so late supersteps touch a shrinking
+    frontier instead of all m edges;
+  - the groupBy-min gets map-side partial aggregation, which bounds
+    hot-vertex (skew) reduce fan-in by the number of map partitions;
+  - AQE skew-join splitting covers join-output skew on hub vertices;
+  - lineage is cut (and the run made resumable) through SuperstepLedger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graph_mining_spark.checkpoint import SuperstepLedger
+from graph_mining_spark.graph import symmetrize, vertex_ids
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_supersteps: int = 200,
+    ledger: SuperstepLedger | None = None,
+    already_symmetric: bool = False,
+    resume_from: tuple[int, DataFrame] | None = None,
+) -> DataFrame:
+    """Return ``(vid: long, label: long)`` with label = min vid per component.
+
+    ``vertices`` (optional, one ``vid`` column) adds isolated vertices
+    that appear in no edge row; they label as themselves.
+    ``resume_from``: (superstep, state) from SuperstepLedger.resume().
+    """
+    sym = edges if already_symmetric else symmetrize(edges)
+    e = sym.select("src", "dst").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+
+    verts = vertex_ids(sym) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
+
+    if resume_from is not None:
+        start, labels = resume_from
+        labels = labels.select("vid", "label")
+        # everything may still be active after a blind resume
+        changed = labels.select("vid", "label")
+    else:
+        start = 0
+        labels = verts.select("vid", F.col("vid").alias("label"))
+        labels = labels.localCheckpoint(eager=True)
+        changed = labels
+
+    step = start
+    while step < max_supersteps:
+        step += 1
+        # (1) delta neighbor-min: propagate only from last round's frontier
+        nbr_min = (
+            e.join(changed.withColumnRenamed("vid", "src"), "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        stepped = (
+            labels.join(nbr_min, "vid", "left")
+            .select("vid", F.least("label", F.coalesce("nbr_label", "label")).alias("label"), F.col("label").alias("_prev"))
+        )
+        # (2) pointer jumping: label ← label[label]
+        parent = stepped.select(F.col("vid").alias("_p_vid"), F.col("label").alias("_p_label"))
+        jumped = (
+            stepped.join(parent, stepped.label == parent._p_vid, "left")
+            .select(
+                "vid",
+                F.coalesce("_p_label", "label").alias("label"),
+                "_prev",
+            )
+        )
+        staged = (
+            jumped.select("vid", "label", (F.col("label") != F.col("_prev")).alias("_chg"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        n_changed = staged.filter("_chg").count()
+        if ledger is not None:
+            state = ledger.record(step, staged, metric=float(n_changed), n_active=n_changed)
+        else:
+            state = staged.localCheckpoint(eager=True)
+        staged.unpersist()
+        changed = state.filter("_chg").select("vid", "label")
+        labels = state.select("vid", "label")
+        if n_changed == 0:
+            break
+
+    e.unpersist()
+    return labels
+
+
+def components_as_clusters(labels: DataFrame) -> DataFrame:
+    """Nested output form: one row per component with its member list
+    (reference Clustering = vector<vector<NodeId>>,
+    in_memory_clusterer.h:96-100; OutputIndicesById,
+    parallel_sequence_ops.h:178-222)."""
+    return labels.groupBy("label").agg(F.sort_array(F.collect_list("vid")).alias("members"))

@@ -1,0 +1,135 @@
+"""PageRank power iteration with the reference's convergence contract.
+
+Reference semantics (/root/reference/in_memory/pagerank/pagerank.proto:19-35,
+parallel_pagerank.cc:39-91, parallel_pagerank.h:38-55):
+  - damping factor d ∈ [0, 1), default 0.85;
+  - stop when the L1 distance of consecutive rank vectors drops below
+    ``approx_precision * n`` (default 1e-6), or at ``max_iterations``;
+  - empty ``source_vids`` ⇒ global PageRank; otherwise personalized
+    restart uniformly distributed over the sources;
+  - contributions are uniform over OUT-edges (GBBS PageRank_edgeMap is
+    unweighted); dangling-vertex mass is redistributed through the
+    restart distribution.
+
+Superstep shape (SURVEY.md §2.2): one edges⋈ranks join hash-partitioned
+on ``src`` (edge table pre-partitioned once and persisted, so only the
+vertex-sized rank table reshuffles), one groupBy(dst).sum with map-side
+partial aggregation (bounds hub-vertex skew by the map partition count),
+then a vertex-sized finalize join.  One stats aggregation per superstep
+returns (L1 diff, next dangling mass) in a single action.  Lineage is
+cut each superstep via SuperstepLedger (durable, resumable) or
+localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graph_mining_spark.checkpoint import SuperstepLedger
+from graph_mining_spark.graph import vertex_ids
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    approx_precision: float = 1e-6,
+    max_iterations: int | None = None,
+    source_vids: list[int] | None = None,
+    vertices: DataFrame | None = None,
+    ledger: SuperstepLedger | None = None,
+    resume_from: tuple[int, DataFrame] | None = None,
+) -> DataFrame:
+    """Return ``(vid: long, rank: double)``.
+
+    ``edges`` is interpreted as DIRECTED ``src → dst`` (pass the
+    symmetrized table for undirected PageRank).  ``vertices`` (one
+    ``vid`` column) may add vertices with no incident edge rows.
+    """
+    if not (0.0 <= damping < 1.0):
+        raise ValueError(f"damping must be in [0, 1), got {damping}")
+    if approx_precision < 0:
+        raise ValueError("approx_precision must be >= 0")
+    spark = edges.sparkSession
+
+    e = edges.select("src", "dst").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    verts = vertex_ids(edges) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
+
+    out_deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    if source_vids:
+        src_set = spark.createDataFrame([(int(s),) for s in source_vids], "vid long")
+        p_col = F.when(F.col("_is_src"), F.lit(1.0 / len(source_vids))).otherwise(F.lit(0.0))
+        base = (
+            verts.join(out_deg, "vid", "left")
+            .join(src_set.withColumn("_is_src", F.lit(True)), "vid", "left")
+            .select("vid", F.coalesce("deg", F.lit(0)).alias("deg"),
+                    F.coalesce("_is_src", F.lit(False)).alias("_is_src"))
+            .select("vid", "deg", p_col.alias("p"))
+        )
+    else:
+        base = None  # uniform restart, filled after n is known
+
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "vid long, rank double")
+    if base is None:
+        base = verts.join(out_deg, "vid", "left").select(
+            "vid", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0 / n).alias("p")
+        )
+    base = base.repartition("vid").persist(StorageLevel.MEMORY_AND_DISK)
+
+    if resume_from is not None:
+        it, state = resume_from
+        state = state.select("vid", "rank", "deg", "p").persist(StorageLevel.MEMORY_AND_DISK)
+        dangling = state.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+    else:
+        it = 0
+        init = 1.0 / n if not source_vids else None
+        rank0 = F.lit(init) if init is not None else F.col("p")
+        state = base.select("vid", rank0.alias("rank"), "deg", "p").persist(StorageLevel.MEMORY_AND_DISK)
+        dangling = state.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+
+    eps = approx_precision * n
+    cap = max_iterations if max_iterations is not None else 1_000_000
+
+    while it < cap:
+        it += 1
+        contribs = (
+            e.join(
+                state.filter(F.col("deg") > 0).select(
+                    F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("_c")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.sum("_c").alias("_contrib"))
+        )
+        new_rank = (
+            (F.lit(1.0 - damping) * F.col("p"))
+            + F.lit(damping) * (F.coalesce("_contrib", F.lit(0.0)) + F.lit(float(dangling)) * F.col("p"))
+        )
+        staged = (
+            base.join(contribs, "vid", "left")
+            .join(state.select("vid", F.col("rank").alias("_prev")), "vid")
+            .select("vid", new_rank.alias("rank"), "deg", "p", "_prev")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        row = staged.agg(
+            F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("l1"),
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
+        ).first()
+        l1, dangling = float(row["l1"]), float(row["dangling"] or 0.0)
+        old_state = state
+        if ledger is not None:
+            state = ledger.record(it, staged.drop("_prev"), metric=l1, n_active=n)
+        else:
+            state = staged.drop("_prev").localCheckpoint(eager=True)
+        staged.unpersist()
+        old_state.unpersist()
+        if l1 < eps:
+            break
+
+    e.unpersist()
+    base.unpersist()
+    return state.select("vid", "rank")

@@ -1,0 +1,82 @@
+"""Per-vertex (and global) triangle counting via degree ordering.
+
+Reference algorithm: gbbs Triangle_degree_ordering (Shun–Tangwongsan'15)
+— rank vertices by (degree, id), direct every undirected edge from the
+lower- to the higher-ranked endpoint, count each triangle exactly once
+at its lowest-ranked corner by intersecting directed adjacency sets
+(/root/reference/in_memory/clustering/triangle_counting/
+parallel_triangle_counting.cc:29-46, graph_utils.h:36-50).  The
+reference returns only the GLOBAL count
+(parallel_triangle_counting.h:31-32); the north rule extends it to
+per-vertex counts, crediting each triangle to all three corners.
+
+Spark shape: degree ordering bounds the directed out-degree by
+O(sqrt(m)) amortized (arboricity argument), which is exactly the skew
+control that makes the wedge self-join feasible on power-law graphs —
+no hub vertex ever fans out its full degree.  The closing-edge match is
+an equi-join on the (v, w) pair, which Catalyst executes as a shuffled
+hash/sort-merge join with AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graph_mining_spark.graph import canonical_undirected, degrees, symmetrize, vertex_ids
+
+
+def _directed_by_degree(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge low→high by (degree, vid) rank.
+
+    Returns ``(u, v, deg_v)`` — deg_v is carried so wedge endpoints can
+    be rank-compared without another join.
+    """
+    sym = symmetrize(edges)
+    deg = degrees(sym).select("vid", "degree")
+    und = canonical_undirected(sym).select("src", "dst")
+    e2 = (
+        und.join(deg.select(F.col("vid").alias("src"), F.col("degree").alias("_da")), "src")
+        .join(deg.select(F.col("vid").alias("dst"), F.col("degree").alias("_db")), "dst")
+    )
+    src_first = (F.col("_da") < F.col("_db")) | ((F.col("_da") == F.col("_db")) & (F.col("src") < F.col("dst")))
+    return e2.select(
+        F.when(src_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(src_first, F.col("dst")).otherwise(F.col("src")).alias("v"),
+        F.when(src_first, F.col("_db")).otherwise(F.col("_da")).alias("deg_v"),
+    )
+
+
+def triangle_list(edges: DataFrame) -> DataFrame:
+    """All triangles, one row each, as ``(u, v, w)`` with u ≺ v ≺ w in
+    (degree, vid) rank order."""
+    d = _directed_by_degree(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    x = d.select(F.col("u"), F.col("v").alias("v"), F.col("deg_v").alias("_dv"))
+    y = d.select(F.col("u"), F.col("v").alias("w"), F.col("deg_v").alias("_dw"))
+    rank_lt = (F.col("_dv") < F.col("_dw")) | ((F.col("_dv") == F.col("_dw")) & (F.col("v") < F.col("w")))
+    wedges = x.join(y, "u").filter(rank_lt).select("u", "v", "w")
+    closing = d.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"], "inner").select("u", "v", "w")
+    return tri
+
+
+def triangle_counts(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """Per-vertex exact triangle counts ``(vid, triangles)``; every
+    vertex appears (0 for triangle-free vertices)."""
+    tri = triangle_list(edges)
+    corners = (
+        tri.select(F.col("u").alias("vid"))
+        .unionAll(tri.select(F.col("v").alias("vid")))
+        .unionAll(tri.select(F.col("w").alias("vid")))
+    )
+    counts = corners.groupBy("vid").agg(F.count("*").alias("triangles"))
+    verts = vertex_ids(edges) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
+    return verts.join(counts, "vid", "left").select(
+        "vid", F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles")
+    )
+
+
+def global_triangle_count(edges: DataFrame) -> int:
+    """Reference-parity global count (parallel_triangle_counting.h:31-32)."""
+    return triangle_list(edges).count()

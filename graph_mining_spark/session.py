@@ -1,0 +1,60 @@
+"""SparkSession factory tuned for the link-graph workload.
+
+Local mode is a single JVM; ``spark.driver.memory`` is the only memory
+knob.  On a real cluster the same code runs unchanged via
+``spark-submit --py-files``; only master/memory/shuffle-partition
+settings move to submit-time conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions sized to cores for local runs.  On a 1000-executor
+# cluster this would be ~2-3x total cores, set at submit time; AQE
+# coalescing makes the exact value forgiving.
+_DEF_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    app_name: str = "graph_mining_spark",
+    driver_memory: str = "48g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with AQE + Arrow enabled.
+
+    AQE gives runtime shuffle-partition coalescing and skew-join
+    splitting — both load-bearing for the power-law degree
+    distributions of a source-code link graph.
+    """
+    cpus = cpus or _DEF_CPUS
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    b = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Iterative superstep loops re-plan many small stages; keep
+        # codegen caches warm and logs quiet.
+        .config("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    # Checkpoint dir for localCheckpoint-free persistent checkpoints.
+    ckpt = os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/graph_mining_spark_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

@@ -1,0 +1,61 @@
+import json
+import os
+
+import numpy as np
+
+from graph_mining_spark.checkpoint import SuperstepLedger
+from graph_mining_spark.operators.connected_components import connected_components
+from graph_mining_spark.operators.pagerank import pagerank
+from tests.conftest import make_edges
+from tests.oracles import seeded_er_edges
+
+
+def _ranks(df):
+    return {r["vid"]: r["rank"] for r in df.collect()}
+
+
+def test_pagerank_resume_matches_uninterrupted(spark, tmp_path):
+    und = seeded_er_edges(40, 0.08, seed=13)
+    directed = und + [(v, u, w) for u, v, w in und]
+    e = make_edges(spark, directed)
+
+    full = _ranks(pagerank(e))
+
+    # run 1: stop early at 4 iterations, checkpoint every step
+    led_dir = str(tmp_path / "pr")
+    led = SuperstepLedger("pagerank", directory=led_dir, every=1)
+    pagerank(e, max_iterations=4, ledger=led)
+    assert os.path.exists(os.path.join(led_dir, "ledger.jsonl"))
+
+    # run 2: resume from the durable state and converge
+    resumed_state = SuperstepLedger.resume(spark, "pagerank", led_dir)
+    assert resumed_state is not None and resumed_state[0] == 4
+    got = _ranks(pagerank(e, resume_from=resumed_state))
+
+    a = np.array([full[k] for k in sorted(full)])
+    b = np.array([got[k] for k in sorted(got)])
+    assert np.allclose(a, b, atol=1e-9)
+
+
+def test_cc_resume(spark, tmp_path):
+    e = make_edges(spark, [(i, i + 1, 1.0) for i in range(30)])
+    led_dir = str(tmp_path / "cc")
+    led = SuperstepLedger("cc", directory=led_dir, every=1)
+    connected_components(e, max_supersteps=2, ledger=led)
+    resumed = SuperstepLedger.resume(spark, "cc", led_dir)
+    assert resumed is not None
+    labs = {
+        r["vid"]: r["label"]
+        for r in connected_components(e, resume_from=(resumed[0], resumed[1])).collect()
+    }
+    assert set(labs.values()) == {0}
+
+
+def test_ledger_records_metrics(spark, tmp_path):
+    e = make_edges(spark, [(0, 1, 1.0), (1, 2, 1.0)])
+    led_dir = str(tmp_path / "led")
+    led = SuperstepLedger("cc", directory=led_dir, every=1)
+    connected_components(e, ledger=led)
+    lines = [json.loads(x) for x in open(os.path.join(led_dir, "ledger.jsonl"))]
+    assert all({"algo", "superstep", "metric", "n_active", "partitions", "wall_s"} <= set(r) for r in lines)
+    assert lines[-1]["metric"] == 0.0  # converged: zero changes
