@@ -1,0 +1,23 @@
+from graph_mining_spark.functions.text import language_id, text_fingerprint, text_stats, token_counts
+from graph_mining_spark.functions.dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from graph_mining_spark.functions.ann import cosine_topk, lsh_cosine_topk
+
+__all__ = [
+    "language_id",
+    "text_fingerprint",
+    "text_stats",
+    "token_counts",
+    "dedup_exact",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "lsh_cosine_topk",
+]

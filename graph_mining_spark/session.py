@@ -49,6 +49,8 @@ def get_spark(
         # Iterative superstep loops re-plan many small stages; keep
         # codegen caches warm and logs quiet.
         .config("spark.sql.execution.pandas.convertToArrowArraySafely", "true")
+        # big Arrow batches keep the vectorized CSR kernels amortized
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(1 << 18))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

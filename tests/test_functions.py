@@ -1,0 +1,168 @@
+import hashlib
+
+import numpy as np
+import pytest
+
+from graph_mining_spark.functions.ann import cosine_topk, lsh_cosine_topk
+from graph_mining_spark.functions.dedup import (
+    dedup_exact,
+    hamming_near_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from graph_mining_spark.functions.multimodal import (
+    decode_image,
+    documents_as_media,
+    extract_media_features,
+)
+from graph_mining_spark.functions.text import language_id, text_fingerprint, text_stats, token_counts
+
+DOCS = [
+    (0, "the cat sat on the mat", "src0"),
+    (1, "the cat sat on the mat", "src0"),      # exact dup of 0
+    (2, "the cat sat on the red mat", "src0"),  # near dup
+    (3, "completely different words entirely here", "src1"),
+    (4, "der hund und der ball", "src1"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def test_text_stats(spark):
+    rows = {r["doc_id"]: r for r in text_stats(_docs(spark)).collect()}
+    assert rows[0]["n_chars"] == 22
+    assert rows[0]["n_tokens"] == 6
+    assert rows[3]["n_tokens"] == 5
+    assert rows[0]["n_digits"] == 0
+
+
+def test_token_counts(spark):
+    rows = {r["doc_id"]: r for r in token_counts(_docs(spark)).collect()}
+    assert rows[0]["n_ws_tokens"] == 6
+    assert rows[0]["n_bpe_tokens"] == 6
+
+
+def test_language_id(spark):
+    rows = {r["doc_id"]: r["lang_guess"] for r in language_id(_docs(spark)).collect()}
+    assert rows[0] == "en"
+    assert rows[4] == "de"
+    assert rows[3] == "und"  # no markers
+
+
+def test_fingerprint_groups_prefix_dups(spark):
+    rows = {r["doc_id"]: r["fingerprint"] for r in text_fingerprint(_docs(spark), prefix=10).collect()}
+    assert rows[0] == rows[1] == rows[2]  # same 10-char prefix
+    assert rows[0] != rows[3]
+
+
+def test_dedup_exact(spark):
+    rows = {r["doc_id"]: r["keep"] for r in dedup_exact(_docs(spark)).collect()}
+    assert rows == {0: True, 1: False, 2: True, 3: True, 4: True}
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=8, shingle_k=5)
+    by_doc = {}
+    for r in sigs.collect():
+        by_doc.setdefault(r["doc_id"], {})[r["seed"]] = r["minhash"]
+    assert by_doc[0] == by_doc[1]
+    assert by_doc[0] != by_doc[3]
+    assert all(len(v) == 8 for v in by_doc.values())
+    # near-dup shares most minhashes
+    shared = sum(by_doc[0][s] == by_doc[2][s] for s in range(8))
+    assert shared >= 4
+
+
+def test_lsh_candidate_pairs(spark):
+    sigs = minhash_signatures(_docs(spark), num_hashes=8, shingle_k=5)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs, num_hashes=8, bands=4).collect()}
+    assert (0, 1) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard(spark):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_and_hamming(spark):
+    sh = simhash(_docs(spark), bits=32)
+    rows = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    assert rows[0] == rows[1]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in hamming_near_pairs(sh, max_distance=3).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_simhash_python_oracle(spark):
+    # replicate the definition: md5-derived 60-bit token hash, ±1 votes
+    def oracle(text, bits=32):
+        toks = set(text.split())
+        votes = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(2**b for b in range(bits) if votes[b] > 0)
+
+    rows = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), bits=32).collect()}
+    for doc_id, text, _ in DOCS:
+        assert rows[doc_id] == oracle(text), f"doc {doc_id}"
+
+
+def _embeddings(spark, n=40, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>"), vecs
+
+
+def test_cosine_topk_vs_numpy(spark):
+    df, vecs = _embeddings(spark)
+    queries = df.filter("vec_id < 5")
+    got = cosine_topk(df, queries, k=3, round_to=None).collect()
+    v = vecs.astype(np.float64)
+    sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+    for r in got:
+        qi, ni = r["query_id"], r["neighbor_id"]
+        assert abs(r["cosine"] - sims[qi, ni]) < 1e-9
+    for q in range(5):
+        want = sorted((i for i in range(40) if i != q), key=lambda i: (-sims[q, i], i))[:3]
+        have = [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert have == want
+
+
+def test_lsh_cosine_topk_recall(spark):
+    df, vecs = _embeddings(spark, n=60)
+    queries = df.filter("vec_id < 10")
+    approx = lsh_cosine_topk(df, queries, k=3, n_planes=2)
+    rows = approx.collect()
+    # structural checks: ranks contiguous, neighbors from same bucket only
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+    # overlap with exact top-3 should be nontrivial on average
+    exact = cosine_topk(df, queries, k=3, round_to=None).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len({x["neighbor_id"] for x in rs} & ex[q]) for q, rs in by_q.items())
+    assert hits >= 5  # recall >> 0 with 2 planes on 60 vecs
+
+
+def test_multimodal_plumbing(spark):
+    media = documents_as_media(_docs(spark))
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    for doc_id, text, _ in DOCS:
+        want = hashlib.sha256(text.encode()).hexdigest()
+        assert feats[doc_id]["checksum"] == want
+        assert feats[doc_id]["n_bytes"] == len(text.encode())
+    with pytest.raises(NotImplementedError):
+        decode_image(media)
