@@ -56,13 +56,18 @@ def symmetrize(edges: DataFrame, agg: str = "max", keep_self_loops: bool = False
     """Directed → undirected: union reciprocal edges, resolve duplicates.
 
     Mirrors UndirectedConverterGraph (undirected_converter_graph.cc:55-168)
-    with asymmetric-edge treatment MAX/MIN/SUM/AVG
-    (undirected_converter_graph.proto:26-35).  Result contains BOTH
-    orientations of every undirected edge (the canonical storage form
-    for per-src windows and per-dst aggregations without re-shuffling).
+    with asymmetric-edge treatment MAX/MIN/SUM/AVG/REMOVE
+    (undirected_converter_graph.proto:26-35).  ``agg="remove"`` keeps
+    only edges present in BOTH orientations (max weight of the two).
+    Result contains BOTH orientations of every undirected edge (the
+    canonical storage form for per-src windows and per-dst aggregations
+    without re-shuffling).
     """
     e = edges if keep_self_loops else remove_self_loops(edges)
     rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    if agg == "remove":
+        kept = e.join(rev.select("src", "dst"), ["src", "dst"], "left_semi")
+        return symmetrize(kept, agg="max", keep_self_loops=True)
     return dedup_edges(e.unionByName(rev), agg=agg)
 
 

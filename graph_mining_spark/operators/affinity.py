@@ -72,6 +72,7 @@ class AffinityConfig:
     edge_aggregation: str = "default_average"
     percentile_linkage_value: float = 0.5
     min_edge_count_for_percentile_linkage: int = 4
+    max_degree_bounded_weight_multiplier: float = 1.0
     # "active" cluster conditions: a cluster staying in the clustering
     # loop must satisfy ≥1 condition; empty ⇒ all active
     # (affinity.proto:86-99).  Each condition: dict with optional
@@ -140,6 +141,7 @@ def compress_graph(
     agg: str = "default_average",
     percentile: float = 0.5,
     min_edge_count_for_percentile: int = 4,
+    max_degree_bounded_multiplier: float = 1.0,
 ) -> tuple[DataFrame, DataFrame]:
     """Contract the graph by cluster labels (CompressGraph,
     parallel_affinity_internal.cc:270-424).
@@ -185,7 +187,7 @@ def compress_graph(
             .otherwise(F.element_at("_ws", idx + 1))
             .alias("weight"),
         )
-    elif agg in ("default_average", "cut_sparsity"):
+    elif agg in ("default_average", "cut_sparsity", "average_with_max_degree_bounded"):
         # associative sum first, then rescale with cluster weights —
         # the reference's scale-then-sum-then-rescale made Spark-native
         # (partial aggregation stays associative).
@@ -193,15 +195,33 @@ def compress_graph(
         nw_s = new_nw.select(F.col("vid").alias("src"), F.col("node_weight").alias("_wx"))
         nw_d = new_nw.select(F.col("vid").alias("dst"), F.col("node_weight").alias("_wy"))
         joined = summed.join(nw_s, "src").join(nw_d, "dst")
-        denom = (
-            (F.col("_wx") * F.col("_wy"))
-            if agg == "default_average"
-            else F.least("_wx", "_wy")
-        )
+        if agg == "default_average":
+            denom = F.col("_wx") * F.col("_wy")
+        elif agg == "cut_sparsity":
+            denom = F.least("_wx", "_wy")
+        else:
+            # sum(S) / min(mult * min(X, Y), X * Y) — affinity.proto:71-79
+            denom = F.least(
+                F.lit(max_degree_bounded_multiplier) * F.least("_wx", "_wy"),
+                F.col("_wx") * F.col("_wy"),
+            )
         new_edges = joined.select("src", "dst", (F.col("_sum") / denom).alias("weight"))
     else:
         raise ValueError(f"unknown edge aggregation {agg}")
     return new_edges, new_nw
+
+
+def compress_cluster_ids(labels: DataFrame) -> DataFrame:
+    """Remap arbitrary labels to consecutive [0, k) by rank of sorted
+    distinct labels (CompressClusterIds,
+    parallel_affinity_internal.cc:65-80).  k is the number of clusters
+    — small after contraction — so the dense-rank window over DISTINCT
+    labels is not a scale hazard (it never touches the vertex table)."""
+    distinct = labels.select("label").distinct()
+    ranked = distinct.withColumn(
+        "_new", F.row_number().over(Window.orderBy("label")) - 1
+    )
+    return labels.join(ranked, "label").select("vid", F.col("_new").cast("long").alias("label"))
 
 
 def flatten_clustering(labels: DataFrame, round_labels: DataFrame) -> DataFrame:
@@ -341,6 +361,7 @@ def affinity_cluster(
             agg=cfg.edge_aggregation,
             percentile=cfg.percentile_linkage_value,
             min_edge_count_for_percentile=cfg.min_edge_count_for_percentile_linkage,
+            max_degree_bounded_multiplier=cfg.max_degree_bounded_weight_multiplier,
         )
         old = cur_edges
         cur_edges = new_edges.localCheckpoint(eager=True)

@@ -156,8 +156,11 @@ def connected_components_csr(
         if np.array_equal(new, labels):
             break
         labels = new
+    import pandas as pd
+
     out = spark.createDataFrame(
-        list(zip(shards.vids.tolist(), shards.vids[labels].tolist())), "vid long, label long"
+        pd.DataFrame({"vid": shards.vids, "label": shards.vids[labels]}),
+        schema="vid long, label long",
     )
     shards.unpersist()
     return out

@@ -73,3 +73,13 @@ def test_validation(spark):
         pagerank(e, damping=1.0)
     with pytest.raises(ValueError):
         pagerank(e, approx_precision=-1)
+
+
+def test_check_every_batching_matches(spark):
+    # no dangling vertices (symmetric) -> batching path active
+    und = seeded_er_edges(40, 0.1, seed=17)
+    directed = und + [(v, u, w) for u, v, w in und]
+    e = make_edges(spark, directed)
+    a = _ranks(pagerank(e, max_iterations=10))
+    b = _ranks(pagerank(e, max_iterations=10, check_every=5))
+    _assert_close(b, a, atol=1e-12)
