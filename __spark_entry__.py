@@ -46,6 +46,7 @@ from graph_mining_spark.operators.connected_components import (
     connected_components_csr,
 )
 from graph_mining_spark.operators.pagerank import pagerank, pagerank_csr
+from graph_mining_spark.operators.shortest_paths import sssp
 from graph_mining_spark.operators.similarity import pairwise_similarity
 from graph_mining_spark.operators.triangles import triangle_counts
 from graph_mining_spark.tpch_graph import (
@@ -143,6 +144,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["pairwise_jaccard_nations"] = lambda s, d: pairwise_similarity(
         nations_edges(s, d), metric="jaccard"
     )
+
+    q["pairwise_common_nations"] = lambda s, d: pairwise_similarity(
+        nations_edges(s, d), metric="common"
+    )
+
+    q["sssp_nations"] = lambda s, d: sssp(
+        symmetrize(nations_edges(s, d)), source_vid=0
+    ).select("vid", F.round("distance", 6).alias("distance"))
+
+    def _contract_avg(s, d):
+        sym = bipartite_sym(s, d)
+        labels = _mod7_labels(sym)
+        nw = labels.select("vid", F.lit(1.0).alias("node_weight"))
+        new_edges, _ = compress_graph(sym, labels, nw, agg="default_average")
+        return new_edges.select("src", "dst", F.round("weight", 6).alias("weight"))
+
+    q["contract_avg_mod7"] = _contract_avg
+
+    def _contract_pct(s, d):
+        sym = bipartite_sym(s, d)
+        labels = _mod7_labels(sym)
+        nw = labels.select("vid", F.lit(1.0).alias("node_weight"))
+        new_edges, _ = compress_graph(
+            sym, labels, nw, agg="percentile", percentile=0.5, min_edge_count_for_percentile=4
+        )
+        return new_edges
+
+    q["contract_percentile_mod7"] = _contract_pct
 
     # CSR fast paths with the SAME oracles as their DataFrame twins
     q["cc_csr_nations"] = lambda s, d: connected_components_csr(
@@ -407,6 +436,54 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT a, b, round(c / (da.d + db.d - c), 6) AS similarity
       FROM common JOIN deg da ON a = da.v JOIN deg db ON b = db.v
+    """
+
+    o["pairwise_common_nations"] = f"""
+      WITH e0 AS (SELECT src, dst FROM ({NATIONS_E_SQL})),
+      eu AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      common AS (
+        SELECT x.src AS a, y.src AS b, count(*) AS c
+        FROM eu x JOIN eu y ON x.dst = y.dst AND x.src < y.src
+        GROUP BY 1, 2
+      )
+      SELECT a, b, round(CAST(c AS DOUBLE), 6) AS similarity FROM common
+    """
+
+    o["sssp_nations"] = f"""
+      WITH RECURSIVE e0 AS (SELECT src, dst FROM ({NATIONS_E_SQL})),
+      eu AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      walk(v, d) AS (
+        SELECT CAST(0 AS BIGINT) AS v, CAST(0.0 AS DOUBLE) AS d
+        UNION
+        SELECT e.dst AS v, CAST(w.d + 1.0 AS DOUBLE) AS d
+        FROM walk w JOIN eu e ON e.src = w.v WHERE w.d < 30
+      )
+      SELECT v AS vid, round(min(d), 6) AS distance FROM walk GROUP BY 1
+    """
+
+    o["contract_avg_mod7"] = f"""
+      WITH e AS (SELECT * FROM ({BIPARTITE_SYM_SQL})),
+      verts AS (SELECT DISTINCT src AS vid FROM e),
+      sizes AS (SELECT vid % 7 AS label, CAST(count(*) AS DOUBLE) AS w FROM verts GROUP BY 1),
+      summed AS (
+        SELECT src % 7 AS src, dst % 7 AS dst, sum(weight) AS s
+        FROM e WHERE src % 7 <> dst % 7 GROUP BY 1, 2
+      )
+      SELECT s.src, s.dst, round(s.s / (sa.w * sb.w), 6) AS weight
+      FROM summed s JOIN sizes sa ON s.src = sa.label JOIN sizes sb ON s.dst = sb.label
+    """
+
+    o["contract_percentile_mod7"] = f"""
+      WITH e AS (SELECT * FROM ({BIPARTITE_SYM_SQL})),
+      grouped AS (
+        SELECT src % 7 AS src, dst % 7 AS dst, count(*) AS cnt, max(weight) AS mx,
+               list_sort(list(weight)) AS ws
+        FROM e WHERE src % 7 <> dst % 7 GROUP BY 1, 2
+      )
+      SELECT src, dst,
+             CASE WHEN cnt < 4 THEN mx
+                  ELSE ws[CAST(floor(0.5 * (cnt - 1)) AS INT) + 1] END AS weight
+      FROM grouped
     """
 
     # CSR twins share the DataFrame-mode oracles
