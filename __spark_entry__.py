@@ -46,6 +46,7 @@ from graph_mining_spark.operators.connected_components import (
     connected_components_csr,
 )
 from graph_mining_spark.operators.pagerank import pagerank, pagerank_csr
+from graph_mining_spark.operators.quick_cluster import quick_cluster
 from graph_mining_spark.operators.shortest_paths import sssp
 from graph_mining_spark.operators.similarity import pairwise_similarity
 from graph_mining_spark.operators.triangles import triangle_counts
@@ -215,6 +216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["linkgraph_pipeline"] = _linkgraph
+
+    # ACN pivot correlation clustering — fixpoint of a sequential
+    # greedy; gated by the exact sequential oracle in pytest
+    q["quick_cluster_coparts"] = lambda s, d: quick_cluster(
+        coparts_edges(s, d), edge_weight_offset=1.5
+    )
 
     # -- training-data pipeline: dedup / text / similarity --
     q["dedup_exact_documents"] = lambda s, d: dedup_exact(_docs(s, d))
