@@ -55,7 +55,9 @@ def connected_components(
     sym = edges if already_symmetric else symmetrize(edges)
     e = sym.select("src", "dst").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
 
-    verts = vertex_ids(sym) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
+    # derive the vertex set from the PERSISTED table — vertex_ids(sym)
+    # would re-execute the whole symmetrize/derivation plan a second time
+    verts = vertex_ids(e) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
 
     if resume_from is not None:
         start, labels = resume_from

@@ -65,7 +65,8 @@ def pagerank(
     spark = edges.sparkSession
 
     e = edges.select("src", "dst").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-    verts = vertex_ids(edges) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
+    # vertex set from the persisted table, not the upstream plan
+    verts = vertex_ids(e) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
 
     out_deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
     if source_vids:
