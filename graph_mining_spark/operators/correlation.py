@@ -1,0 +1,314 @@
+"""Correlation clustering / Louvain — local-search best moves + contraction.
+
+Parity target: the reference's parallel correlation clusterer
+(/root/reference/in_memory/clustering/correlation/parallel_correlation.cc,
+parallel_correlation_util.cc:521-605, correlation_util.h:93-141,
+correlation.proto).  Objective (correlation.proto:21-47): maximize
+
+    sum_{u,v in same cluster} w'_uv,
+    w'_uv = w_uv - edge_weight_offset - resolution * k_u * k_v   ({u,v} in E)
+          = -resolution * k_u * k_v                              (otherwise)
+
+Local search = Louvain (clustering_moves_method LOUVAIN,
+correlation.proto:101-115): rounds of per-vertex best moves until no
+move improves, then compress clusters into nodes (CompressGraph) and
+repeat on the contracted graph.
+
+Per-vertex best move (BestMove, parallel_correlation_util.cc:521-605;
+BestMoveFromStats, correlation_util.h:93-141), for u in cluster A with
+s_uC = Σ_{v∈C∩N(u)} (w_uv − offset) and K_C = Σ_{v∈C} k_v:
+
+    delta(u→C)   = [s_uC − res·k_u·K_C] − [s_uA − res·k_u·(K_A − k_u)]
+    delta(u→new) = −[s_uA − res·k_u·(K_A − k_u)]
+
+best over {new} ∪ neighboring clusters; ties prefer "new", then the
+smaller cluster id (correlation_util.h:133-137 — the reference's
+`cluster < best_move.first` with nullopt initial); applied iff the
+change is > 0 (parallel_correlation.cc:122,148).
+
+We implement the SYNCHRONOUS variant (use_synchronous = true,
+correlation.proto:117-126): every vertex computes its best move
+against the same snapshot and all positive moves apply at once —
+deterministic given the vertex ids, which is what lets a sequential
+Python oracle (tests) and a DuckDB SQL twin (driver gate) reproduce
+results exactly.  The reference notes sync may reach a lower objective
+than async but is the deterministic contract.
+
+Scale shape: each round is one edges⋈labels join partitioned on dst,
+one (u, cluster)-grouped partial-aggregated sum, two vertex-sized
+joins (own cluster / cluster weights broadcast when small), and one
+argmax via max_by — no windows over the edge table, no Python UDFs.
+Contraction reuses CompressGraph (SUM linkage).  Cluster-weight
+tables are cluster-count-sized, so late levels broadcast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graph_mining_spark.checkpoint import cut_lineage
+from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
+from graph_mining_spark.operators.affinity import compress_graph, flatten_clustering
+
+
+@dataclass
+class CorrelationConfig:
+    """CorrelationClustererConfig analog (correlation.proto:68-158).
+
+    ``louvain_num_iterations`` = outer levels (best moves + compress);
+    ``louvain_num_inner_iterations`` = synchronous best-move rounds per
+    level (LouvainConfig, correlation.proto:143-151; parallel Louvain
+    bounds inner rounds because sync moves may oscillate).
+    """
+
+    resolution: float = 0.0
+    edge_weight_offset: float = 0.0
+    louvain_num_iterations: int = 10
+    louvain_num_inner_iterations: int = 10
+
+
+def best_moves(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_weights: DataFrame,
+    resolution: float = 0.0,
+    edge_weight_offset: float = 0.0,
+) -> DataFrame:
+    """One synchronous best-move round.  Returns the new ``(vid, label)``
+    with every positive-delta move applied; a vertex whose best move is
+    "new cluster" gets the fresh label ``-(vid+1)`` (unique, disjoint
+    from the nonnegative input id space).
+
+    ``edges`` must be symmetrized (both orientations) without the
+    weights already offset; ``labels`` (vid, label); ``node_weights``
+    (vid, node_weight).
+    """
+    res = float(resolution)
+    off = float(edge_weight_offset)
+
+    lab_nw = labels.join(node_weights, "vid")
+    # cluster weights K_C and sizes — cluster-count-sized
+    cw = lab_nw.groupBy("label").agg(
+        F.sum("node_weight").alias("_K"), F.count("*").alias("_n")
+    )
+
+    # s_uC for every neighboring cluster C of u
+    lab_dst = labels.select(F.col("vid").alias("dst"), F.col("label").alias("_C"))
+    s_uc = (
+        remove_self_loops(edges)
+        .join(lab_dst, "dst")
+        .groupBy(F.col("src").alias("vid"), "_C")
+        .agg(F.sum(F.col("weight") - F.lit(off)).alias("_s"))
+    )
+
+    own = lab_nw.select(
+        "vid", F.col("label").alias("_A"), F.col("node_weight").alias("_k")
+    ).join(
+        cw.select(F.col("label").alias("_A"), F.col("_K").alias("_KA"), F.col("_n").alias("_nA")),
+        "_A",
+    )
+
+    cand = (
+        s_uc.join(own, "vid")
+        .join(
+            cw.select(F.col("label").alias("_C"), F.col("_K").alias("_KC"), F.col("_n").alias("_nC")),
+            "_C",
+        )
+    )
+    # synchronous-swap guard (deterministic symmetry breaking, cf.
+    # Grappolo's singleton-swap heuristic, Lu–Halappanavar–Kalyanaraman
+    # 2015): when BOTH the current and the target cluster are
+    # singletons, only the vertex moving toward the SMALLER label may
+    # move — otherwise two mutual singletons would swap labels forever
+    # under simultaneous application.
+    swap_blocked = (F.col("_nA") == 1) & (F.col("_nC") == 1) & (F.col("_C") > F.col("_A"))
+    # objective u currently contributes to A (the "leave cost")
+    leave = F.col("_sA") - F.lit(res) * F.col("_k") * (F.col("_KA") - F.col("_k"))
+    # per-u: s_uA (0 when u has no intra-cluster edge) via conditional agg
+    per_u = cand.groupBy("vid", "_A", "_k", "_KA").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_C") == F.col("_A"), F.col("_s"))), F.lit(0.0)
+        ).alias("_sA"),
+        # argmax over eligible C ≠ A of (delta_gain, smaller C):
+        # maximize the struct (gain, -C); gain(C) = s_uC − res·k_u·K_C
+        F.max(
+            F.when(
+                (F.col("_C") != F.col("_A")) & ~swap_blocked,
+                F.struct(
+                    (F.col("_s") - F.lit(res) * F.col("_k") * F.col("_KC")).alias("g"),
+                    (-F.col("_C")).alias("negc"),
+                ),
+            )
+        ).alias("_best"),
+    )
+    delta_new = -leave
+    delta_best = F.col("_best.g") - leave
+    # ties prefer "new" (reference keeps the nullopt initial on equality)
+    take_cluster = F.col("_best").isNotNull() & (delta_best > delta_new)
+    moved = per_u.select(
+        "vid",
+        F.when(take_cluster & (delta_best > 0), -F.col("_best.negc"))
+        .when(~take_cluster & (delta_new > 0), -(F.col("vid") + 1))
+        .otherwise(F.col("_A"))
+        .alias("label"),
+        (F.when(take_cluster, delta_best).otherwise(delta_new) > 0).alias("_moved"),
+    )
+    # vertices with no incident edges never appear in s_uc: for them
+    # delta_new = res·k_u·(K_A − k_u) — positive when sharing a cluster
+    # with others (leaving a cluster you touch nothing in always helps
+    # under resolution > 0); from singletons it is 0 (no move)
+    isolated = (
+        labels.join(s_uc.select("vid").distinct(), "vid", "left_anti")
+        .join(own, "vid")
+        .select(
+            "vid",
+            F.when(
+                F.lit(res) * F.col("_k") * (F.col("_KA") - F.col("_k")) > 0,
+                -(F.col("vid") + 1),
+            )
+            .otherwise(F.col("_A"))
+            .alias("label"),
+            (F.lit(res) * F.col("_k") * (F.col("_KA") - F.col("_k")) > 0).alias("_moved"),
+        )
+    )
+    return moved.unionByName(isolated)
+
+
+def correlation_cluster(
+    edges: DataFrame,
+    config: CorrelationConfig | None = None,
+    node_weights: DataFrame | None = None,
+    already_symmetric: bool = False,
+) -> DataFrame:
+    """Louvain local search for the correlation objective.  Returns
+    ``(vid, label)`` canonicalized to label = min member vid.
+
+    ``edges`` may be directed; symmetrized with MAX dedup first (the
+    reference requires an undirected input graph,
+    parallel_correlation.h:36-39).
+    """
+    cfg = config or CorrelationConfig()
+    sym = edges if already_symmetric else symmetrize(edges)
+    verts = vertex_ids(sym)
+    nw = (
+        node_weights.select("vid", F.col("node_weight").cast("double"))
+        if node_weights is not None
+        else verts.select("vid", F.lit(1.0).alias("node_weight"))
+    )
+
+    labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
+    cur_edges = sym.select("src", "dst", "weight").persist(StorageLevel.MEMORY_AND_DISK)
+    cur_labels = labels  # labels over CURRENT level's vertex ids
+    cur_nw = nw
+
+    for level in range(cfg.louvain_num_iterations):
+        level_moved = 0
+        for _ in range(cfg.louvain_num_inner_iterations):
+            stepped = best_moves(
+                cur_edges, cur_labels, cur_nw, cfg.resolution, cfg.edge_weight_offset
+            )
+            obs = Observation()
+            cur_labels = (
+                stepped.observe(obs, F.sum(F.col("_moved").cast("long")).alias("n"))
+                .select("vid", "label")
+            )
+            cur_labels = cut_lineage(cur_labels)
+            n_moved = int(obs.get["n"] or 0)
+            level_moved += n_moved
+            if n_moved == 0:
+                break
+        if level_moved == 0:
+            break
+        labels = cut_lineage(flatten_clustering(labels, cur_labels))
+        if level + 1 >= cfg.louvain_num_iterations:
+            break
+        new_edges, new_nw = compress_graph(cur_edges, cur_labels, cur_nw, agg="sum")
+        old = cur_edges
+        cur_edges = cut_lineage(new_edges)
+        old.unpersist()
+        cur_nw = cut_lineage(new_nw)
+        cur_labels = cur_nw.select("vid", F.col("vid").alias("label"))
+        if cur_edges.isEmpty():
+            break
+
+    # canonical relabel: min member vid (the reference remaps to a dense
+    # [0, k) id space, parallel_correlation_util.cc — min-vid is the
+    # relabel-invariant canonical form our oracles compare on)
+    canon = labels.groupBy("label").agg(F.min("vid").alias("_c"))
+    out = labels.join(canon, "label").select("vid", F.col("_c").alias("label"))
+    cur_edges.unpersist()
+    return out
+
+
+def modularity_cluster(
+    edges: DataFrame,
+    resolution: float = 1.0,
+    config: CorrelationConfig | None = None,
+    already_symmetric: bool = False,
+) -> DataFrame:
+    """ModularityClusterer analog (parallel_modularity.cc:84-118):
+    correlation clustering with node weight = weighted degree and
+    resolution scaled by 1 / total edge weight (Σ_v weighted_degree =
+    2M on the both-orientations table), edge_weight_offset = 0.
+    """
+    sym = edges if already_symmetric else symmetrize(edges)
+    sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    wdeg = sym.groupBy(F.col("src").alias("vid")).agg(F.sum("weight").alias("node_weight"))
+    total = sym.agg(F.sum("weight")).first()[0] or 0.0
+    eff = 0.0 if total == 0.0 else float(resolution) / float(total)
+    cfg = config or CorrelationConfig()
+    cfg = CorrelationConfig(
+        resolution=eff,
+        edge_weight_offset=0.0,
+        louvain_num_iterations=cfg.louvain_num_iterations,
+        louvain_num_inner_iterations=cfg.louvain_num_inner_iterations,
+    )
+    out = correlation_cluster(sym, cfg, node_weights=wdeg, already_symmetric=True)
+    sym.unpersist()
+    return out
+
+
+def correlation_objective(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_weights: DataFrame | None = None,
+    resolution: float = 0.0,
+    edge_weight_offset: float = 0.0,
+) -> float:
+    """Evaluate the correlation objective of a clustering (for tests /
+    quality comparisons).  ``edges`` symmetrized; each unordered pair
+    counted once.
+
+    objective = Σ_{intra edges} (w − offset) − res/2 · Σ_C (K_C² − Σ_{v∈C} k_v²)
+    """
+    res = float(resolution)
+    off = float(edge_weight_offset)
+    nw = (
+        node_weights.select("vid", F.col("node_weight").cast("double"))
+        if node_weights is not None
+        else labels.select("vid", F.lit(1.0).alias("node_weight"))
+    )
+    lab_src = labels.select(F.col("vid").alias("src"), F.col("label").alias("_cs"))
+    lab_dst = labels.select(F.col("vid").alias("dst"), F.col("label").alias("_cd"))
+    intra = (
+        remove_self_loops(edges)
+        .join(lab_src, "src")
+        .join(lab_dst, "dst")
+        .filter(F.col("_cs") == F.col("_cd"))
+        .agg((F.sum(F.col("weight") - F.lit(off)) / 2).alias("s"))
+        .first()["s"]
+        or 0.0
+    )
+    per_c = (
+        labels.join(nw, "vid")
+        .groupBy("label")
+        .agg(F.sum("node_weight").alias("K"), F.sum(F.col("node_weight") ** 2).alias("k2"))
+        .agg(F.sum((F.col("K") ** 2 - F.col("k2")) / 2).alias("pairs"))
+        .first()["pairs"]
+        or 0.0
+    )
+    return float(intra) - res * float(per_c)

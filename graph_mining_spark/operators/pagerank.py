@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from graph_mining_spark.checkpoint import SuperstepLedger
+from graph_mining_spark.checkpoint import SuperstepLedger, cut_lineage
 from graph_mining_spark.graph import vertex_ids
 
 
@@ -94,17 +94,21 @@ def pagerank(
     if resume_from is not None:
         it, state = resume_from
         state = state.select("vid", "rank", "deg", "p").persist(StorageLevel.MEMORY_AND_DISK)
-        dangling = state.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
     else:
         it = 0
         init = 1.0 / n if not source_vids else None
         rank0 = F.lit(init) if init is not None else F.col("p")
         state = base.select("vid", rank0.alias("rank"), "deg", "p").persist(StorageLevel.MEMORY_AND_DISK)
-        dangling = state.filter(F.col("deg") == 0).agg(F.sum("rank")).first()[0] or 0.0
+    # one action: initial dangling mass AND dangling-vertex count
+    row0 = state.agg(
+        F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dmass"),
+        F.sum(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("dcount"),
+    ).first()
+    dangling = float(row0["dmass"] or 0.0)
+    n_dangling = int(row0["dcount"] or 0)
 
     eps = approx_precision * n
     cap = max_iterations if max_iterations is not None else 1_000_000
-    n_dangling = base.filter(F.col("deg") == 0).count()
     batch = check_every if (check_every > 1 and n_dangling == 0) else 1
 
     def one_step(cur: DataFrame, dangling_mass: float) -> DataFrame:
@@ -125,6 +129,8 @@ def pagerank(
         )
         return base.join(contribs, "vid", "left").select("vid", new_rank.alias("rank"), "deg", "p")
 
+    from pyspark.sql import Observation
+
     while it < cap:
         steps = min(batch, cap - it)
         cur = state
@@ -135,21 +141,25 @@ def pagerank(
         prev_of_last = cur.persist(StorageLevel.MEMORY_AND_DISK)
         cur = one_step(prev_of_last, dangling)
         it += steps
+        # L1 + next dangling mass ride the checkpoint materialization
+        # (Observation) — ONE Spark job per batch of supersteps
+        obs = Observation(f"pr_{it}")
         staged = (
             cur.join(prev_of_last.select("vid", F.col("rank").alias("_prev")), "vid")
-            .persist(StorageLevel.MEMORY_AND_DISK)
+            .observe(
+                obs,
+                F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("metric"),
+                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
+            )
+            .drop("_prev")
         )
-        row = staged.agg(
-            F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("l1"),
-            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
-        ).first()
-        l1, dangling = float(row["l1"]), float(row["dangling"] or 0.0)
         old_state = state
         if ledger is not None:
-            state = ledger.record(it, staged.drop("_prev"), metric=l1, n_active=n)
+            state = ledger.record(it, staged, n_active=n, observation=obs)
         else:
-            state = staged.drop("_prev").localCheckpoint(eager=True)
-        staged.unpersist()
+            state = cut_lineage(staged)
+        got = obs.get
+        l1, dangling = float(got["metric"]), float(got["dangling"] or 0.0)
         prev_of_last.unpersist()
         old_state.unpersist()
         if l1 < eps:

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from graph_mining_spark.checkpoint import cut_lineage
 from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
 
 
@@ -85,9 +86,9 @@ def quick_cluster(
     )
 
     # status: 0 unknown, 1 center, 2 claimed; label valid when resolved
-    state = verts.select(
+    state = cut_lineage(verts.select(
         "vid", F.lit(0).alias("status"), F.lit(None).cast("long").alias("label")
-    ).localCheckpoint(eager=True)
+    ))
 
     for _ in range(max_rounds):
         st_src = state.select(F.col("vid").alias("src"), F.col("status").alias("_st"))
@@ -109,8 +110,16 @@ def quick_cluster(
             F.when(becomes_center, F.lit(1)).when(becomes_claimed, F.lit(2)).otherwise(F.lit(0)).alias("status"),
             F.when(becomes_center, F.col("vid")).when(becomes_claimed, F.col("_c.src")).otherwise(F.lit(None).cast("long")).alias("label"),
         )
-        state = resolved.unionByName(new_unknown).localCheckpoint(eager=True)
-        if state.filter(F.col("status") == 0).isEmpty():
+        # the unresolved count rides the checkpoint job (Observation)
+        # instead of a dedicated isEmpty scan per round
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        state = cut_lineage(
+            resolved.unionByName(new_unknown)
+            .observe(obs, F.sum(F.when(F.col("status") == 0, 1).otherwise(0)).alias("n_unknown"))
+        )
+        if int(obs.get["n_unknown"] or 0) == 0:
             break
 
     smaller_adj.unpersist()

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from graph_mining_spark.checkpoint import SuperstepLedger
+from graph_mining_spark.checkpoint import SuperstepLedger, cut_lineage
 
 
 def sssp(
@@ -41,7 +41,7 @@ def sssp(
     e = edges.select("src", "dst", "weight").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     spark = edges.sparkSession
     dist = spark.createDataFrame([(int(source_vid), 0.0)], "vid long, distance double")
-    dist = dist.localCheckpoint(eager=True)
+    dist = cut_lineage(dist)
     frontier = dist
 
     step = 0
@@ -72,7 +72,7 @@ def sssp(
         if ledger is not None:
             state = ledger.record(step, merged, metric=float(n_improved), n_active=n_improved)
         else:
-            state = merged.localCheckpoint(eager=True)
+            state = cut_lineage(merged)
         merged.unpersist()
         frontier = state.filter("_improved").select("vid", "distance")
         dist = state.select("vid", "distance")
