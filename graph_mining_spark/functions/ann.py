@@ -54,22 +54,31 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplane_bits(vec_col, dim: int, n_planes: int):
+def _hyperplane_bits(vec_sql_col: str, dim: int, n_planes: int, plane_offset: int = 0):
     """Deterministic random-hyperplane signature: plane p component d =
-    uniform(-0.5, 0.5) derived from md5(p:d); bit p = sign(dot)."""
-    bits = F.lit(0).cast("long")
+    uniform(-0.5, 0.5) derived from md5(p:d); bit p = sign(dot).
+
+    Built as a SQL expr with EXPLICITLY UNIQUE lambda-variable names per
+    plane: composing several same-shaped python-lambda higher-order
+    functions (transform inside zip_with inside aggregate) in one select
+    cross-wires the unresolved lambda variables in pyspark 4.1 — the md5
+    input silently binds to another lambda's variable, corrupting every
+    bucket (caught by the DuckDB differential oracle).  ``vec_sql_col``
+    is the column NAME of an array<double> column."""
+    terms = []
     for p in range(n_planes):
-        plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda d, p=p: (
-                F.conv(F.substring(F.md5(F.concat(F.lit(f"plane{p}:"), d.cast("string"))), 1, 8), 16, 10).cast("double")
-                / F.lit(float(2**32))
-                - 0.5
-            ),
+        g = p + plane_offset
+        comp = (
+            f"transform(sequence(0, {dim - 1}), d{g} -> "
+            f"cast(conv(substring(md5(concat('plane{g}:', cast(d{g} as string))), 1, 8), 16, 10) as double) "
+            f"/ cast(4294967296 as double) - cast(0.5 as double))"
         )
-        dot = F.aggregate(F.zip_with(vec_col, plane, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
-        bits = bits + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return bits
+        dot = (
+            f"aggregate(zip_with({vec_sql_col}, {comp}, (x{g}, y{g}) -> x{g} * y{g}), "
+            f"cast(0.0 as double), (a{g}, v{g}) -> a{g} + v{g})"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN cast({1 << p} as bigint) ELSE cast(0 as bigint) END)")
+    return F.expr(" + ".join(terms))
 
 
 def lsh_cosine_topk(
@@ -77,26 +86,45 @@ def lsh_cosine_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
-    hyperplane-sign bucket, exact cosine within.  Trades recall for a
-    per-bucket join instead of a full scan (the 100 TB plan)."""
+    hyperplane-sign buckets, exact cosine within.  Trades recall for
+    per-bucket joins instead of a full scan (the 100 TB plan).
+
+    ``n_tables`` > 1 ORs candidates over that many INDEPENDENT hash
+    tables (each with its own ``n_planes`` hyperplanes, Indyk–Motwani
+    style): single-table recall collapses as n grows because a near
+    neighbor only needs ONE disagreeing plane to land elsewhere;
+    P(miss) = (1 − p^n_planes)^n_tables decays with tables.  The
+    recall gate vs brute force is tests/test_functions.py."""
     dim = len(embeddings.select(vec_col).first()[0])
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    ).withColumn("_bkt", _hyperplane_bits(F.col("_qv"), dim, n_planes))
-    base = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_bv"),
-    ).withColumn("_bkt", _hyperplane_bits(F.col("_bv"), dim, n_planes))
-    cos = _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
-    scored = (
-        q.join(base, "_bkt")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            _hyperplane_bits("_v", dim, n_planes, plane_offset=t * n_planes).alias("b"),
+        )
+        for t in range(n_tables)
+    ])
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_tb", F.explode(tables))
+        .select("query_id", F.col("_v").alias("_qv"), "_tb")
     )
+    base = (
+        embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .withColumn("_tb", F.explode(tables))
+        .select("neighbor_id", F.col("_v").alias("_bv"), "_tb")
+    )
+    cand = (
+        q.join(base, "_tb")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_bv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cos = _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

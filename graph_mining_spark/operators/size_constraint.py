@@ -272,14 +272,18 @@ def enforce_max_cluster_size(
     def run(pdf):
         import pandas as pd
 
+        # column access, not itertuples: pandas renames leading-underscore
+        # fields to positional names in namedtuples
         rows = [
             (
-                int(r.vid),
-                None if pd.isna(r._bn) else int(r._bn),
-                float(r._bw),
-                float(r.node_weight),
+                int(v),
+                None if pd.isna(bn) else int(bn),
+                float(bw),
+                float(nw_),
             )
-            for r in pdf.itertuples()
+            for v, bn, bw, nw_ in zip(
+                pdf["vid"], pdf["_bn"], pdf["_bw"], pdf["node_weight"]
+            )
         ]
         out = _enforce_component(rows, sc)
         return pd.DataFrame({"vid": list(out.keys()), "label": list(out.values())})

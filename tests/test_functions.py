@@ -157,6 +157,58 @@ def test_lsh_cosine_topk_recall(spark):
     assert hits >= 5  # recall >> 0 with 2 planes on 60 vecs
 
 
+def test_lsh_multi_table_recall_gate(spark):
+    # recall@3 >= 0.9 vs brute force with OR over 6 independent tables
+    # (the single-table variant trades recall away; multi-table is the
+    # production configuration — Indyk–Motwani L-table OR).  The fixture
+    # is CLUSTERED (centers + noise) like real embedding corpora: on
+    # uniformly random vectors the top-3 "neighbors" sit near cosine
+    # ~0.5 where no LSH family concentrates.
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(15, 12))
+    vecs = np.stack(
+        [centers[i % 15] + 0.15 * rng.normal(size=12) for i in range(150)]
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 20")
+    exact = cosine_topk(df, queries, k=3, round_to=None).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = lsh_cosine_topk(df, queries, k=3, n_planes=4, n_tables=6).collect()
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ap.get(q, set()) & ex[q]) for q in ex)
+    total = sum(len(s) for s in ex.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_hamming_pairs_exact_recall(spark):
+    # pigeonhole blocking must find EVERY pair within max_distance —
+    # compare against the brute-force O(n^2) pair set
+    import itertools
+
+    rng = np.random.default_rng(17)
+    base = int(rng.integers(0, 2**32))
+    hashes = [base]
+    for _ in range(40):
+        h = hashes[rng.integers(0, len(hashes))]
+        flips = rng.choice(32, size=int(rng.integers(0, 5)), replace=False)
+        for b in flips:
+            h ^= 1 << int(b)
+        hashes.append(int(h))
+    df = spark.createDataFrame(list(enumerate(hashes)), "doc_id long, simhash long")
+    got = {(r["doc_a"], r["doc_b"]) for r in hamming_near_pairs(df, max_distance=3).collect()}
+    want = {
+        (a, b)
+        for (a, ha), (b, hb) in itertools.combinations(enumerate(hashes), 2)
+        if bin(ha ^ hb).count("1") <= 3
+    }
+    assert got == want
+
+
 def test_multimodal_plumbing(spark):
     media = documents_as_media(_docs(spark))
     feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
