@@ -297,6 +297,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["affinity_sized_bipartite"] = _affinity_sized
 
+    # ParHac (1+ε)-approximate HAC — merge sequence is an iterative
+    # argmax fixpoint, gated by the sequential oracle in tests/test_hac.py
+    def _parhac(s, d):
+        from graph_mining_spark.operators.hac import ParHacConfig, parhac
+
+        _, labels = parhac(
+            nations_edges(s, d), ParHacConfig(epsilon=0.1, linkage_threshold=0.05)
+        )
+        return labels
+
+    q["parhac_labels_nations"] = _parhac
+
+    # string-keyed tie-breaking (MaxWeightTiebreaker) — xxhash64 has no
+    # DuckDB twin; gated by the python-argmax oracle in
+    # tests/test_tiebreaking.py
+    def _tiebreak(s, d):
+        from graph_mining_spark.operators.tiebreaking import best_neighbor_string_tiebreak
+
+        sym = bipartite_sym(s, d)
+        keys = vertex_ids(sym).select(
+            "vid", F.concat(F.lit("node:"), F.col("vid").cast("string")).alias("key")
+        )
+        return best_neighbor_string_tiebreak(sym, keys)
+
+    q["best_neighbor_tiebreak_bipartite"] = _tiebreak
+
+    # FDE point-cloud sketches (Chamfer-similarity embeddings) — numpy
+    # seeded RNG has no SQL twin; kernel parity + Chamfer contract gated
+    # in tests/test_fde.py (rows-only here).  Clouds = embedding rows
+    # grouped by their synthetic label column.
+    def _fde(s, d):
+        from graph_mining_spark.functions.fde import FdeConfig, fde_encode
+
+        emb = s.read.parquet(f"{d}/embeddings.parquet").select(
+            F.col("label").cast("long").alias("doc_id"), "embedding"
+        )
+        cfg = FdeConfig(
+            dimension=64, num_repetitions=2, num_simhash_projections=3,
+            encoding_type="average", fill_empty_partitions=True,
+        )
+        out = fde_encode(emb, cfg)
+        return out.select(
+            "doc_id",
+            F.size("fde").cast("long").alias("fde_dim"),
+            F.round(
+                F.sqrt(F.aggregate("fde", F.lit(0.0), lambda a, v: a + v * v)), 4
+            ).alias("fde_l2"),
+        )
+
+    q["fde_embeddings_by_label"] = _fde
+
+    # coconductance Louvain — iterative ratio-objective fixpoint, gated
+    # by the sequential oracle in tests/test_coconductance.py
+    def _cocond(s, d):
+        from graph_mining_spark.operators.coconductance import (
+            CoconductanceConfig,
+            coconductance_cluster,
+        )
+
+        return coconductance_cluster(
+            coparts_edges(s, d), CoconductanceConfig(exponent=1.0, num_levels=2, num_inner_iterations=3)
+        )
+
+    q["coconductance_coparts"] = _cocond
+
     def _linkgraph(s, d):
         # no vendored hub here so the component structure is non-trivial
         # (one shared-content component per language group)

@@ -7,8 +7,10 @@ analog here:
   1. external vids → DENSE int32 indices (broadcast binary search,
      vectorized per Arrow batch);
   2. the int-pair edge table is hash-partitioned by (dst, salt) and
-     written ONCE to local shard parquet files — the cluster analog is
-     shards on executor-local NVMe / HDFS cache;
+     written ONCE as parquet shards through the Hadoop FS abstraction
+     (SPARK_GRAFT_CKPT_DIR may be file:, hdfs:, s3a:, ...); the shard
+     list comes from the same FS API and executors read shards by URI,
+     so driver and executors need no shared local disk;
   3. each gather superstep maps over a tiny shard-descriptor DataFrame;
      the kernel loads its shard through a WORKER-PROCESS-LOCAL LRU
      cache (Spark reuses Python workers across jobs, so steady-state
@@ -51,19 +53,57 @@ _SHARD_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_SHARD_CACHE", "8"))
 
 
 def _load_shard(path: str):
+    """Read one shard by URI — local, HDFS, S3A, ... via pyarrow's
+    filesystem resolution, so executors read from whatever shared store
+    the shards were written to (they are NOT assumed to sit on the
+    driver's local disk)."""
     hit = _SHARD_CACHE.get(path)
     if hit is not None:
         _SHARD_CACHE.move_to_end(path)
         return hit
     import pyarrow.parquet as pq
 
-    t = pq.read_table(path, columns=["s", "d"], memory_map=True)
+    if path.startswith("file:"):
+        # Hadoop renders local URIs as file:/abs/path — strip to a
+        # plain path so pyarrow memory-maps it
+        local = path[5:]
+        while local.startswith("//"):
+            local = local[1:]
+        t = pq.read_table(local, columns=["s", "d"], memory_map=True)
+    elif "://" in path:
+        import pyarrow.fs as pafs
+
+        fs, rel = pafs.FileSystem.from_uri(path)
+        t = pq.read_table(rel, columns=["s", "d"], filesystem=fs)
+    else:
+        t = pq.read_table(path, columns=["s", "d"], memory_map=True)
     s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     _SHARD_CACHE[path] = (s, d)
     while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
         _SHARD_CACHE.popitem(last=False)
     return s, d
+
+
+def _hadoop_fs(spark, path: str):
+    """Hadoop FileSystem handle for ``path`` — the same abstraction the
+    write goes through, valid for any configured scheme."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _list_shard_uris(spark, shard_dir: str) -> list[str]:
+    """Enumerate shard files through the Hadoop FS API (NOT os.listdir,
+    which only sees the driver's local disk)."""
+    fs, hpath = _hadoop_fs(spark, shard_dir)
+    uris = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("part-") and not name.endswith(".crc"):
+            uris.append(st.getPath().toString())
+    return sorted(uris)
 
 
 @dataclass
@@ -82,7 +122,13 @@ class CsrShards:
 
     def unpersist(self) -> None:
         if self._cleanup:
-            shutil.rmtree(self.shard_dir, ignore_errors=True)
+            try:
+                spark = self.shard_files.sparkSession
+                fs, hpath = _hadoop_fs(spark, self.shard_dir)
+                fs.delete(hpath, True)
+            except Exception:  # session gone — best-effort local cleanup
+                shutil.rmtree(self.shard_dir, ignore_errors=True)
+            self.shard_files.unpersist()
 
 
 def materialize_csr_shards(
@@ -137,11 +183,7 @@ def materialize_csr_shards(
         .write.mode("overwrite")
         .parquet(shard_dir)
     )
-    files = sorted(
-        os.path.join(shard_dir, f)
-        for f in os.listdir(shard_dir)
-        if f.endswith(".parquet") or (f.startswith("part-") and not f.endswith(".crc"))
-    )
+    files = _list_shard_uris(spark, shard_dir)
     shard_files = spark.createDataFrame([(p,) for p in files], "path string").repartition(
         max(len(files), 1)
     )

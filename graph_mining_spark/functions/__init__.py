@@ -7,6 +7,7 @@ from graph_mining_spark.functions.dedup import (
     simhash,
 )
 from graph_mining_spark.functions.ann import cosine_topk, lsh_cosine_topk
+from graph_mining_spark.functions.fde import FdeConfig, chamfer_similarity, fde_encode, fde_encode_cloud
 
 __all__ = [
     "language_id",
@@ -20,4 +21,8 @@ __all__ = [
     "simhash",
     "cosine_topk",
     "lsh_cosine_topk",
+    "FdeConfig",
+    "chamfer_similarity",
+    "fde_encode",
+    "fde_encode_cloud",
 ]

@@ -2,9 +2,24 @@ from graph_mining_spark.operators.connected_components import connected_componen
 from graph_mining_spark.operators.pagerank import pagerank
 from graph_mining_spark.operators.triangles import triangle_counts
 from graph_mining_spark.operators.affinity import affinity_cluster, AffinityConfig
+from graph_mining_spark.operators.correlation import (
+    correlation_cluster,
+    CorrelationConfig,
+    modularity_cluster,
+)
+from graph_mining_spark.operators.coconductance import (
+    coconductance_cluster,
+    CoconductanceConfig,
+)
+from graph_mining_spark.operators.hac import parhac, ParHacConfig
 from graph_mining_spark.operators.quick_cluster import quick_cluster
 from graph_mining_spark.operators.shortest_paths import sssp
 from graph_mining_spark.operators.similarity import pairwise_similarity
+from graph_mining_spark.operators.size_constraint import (
+    enforce_max_cluster_size,
+    SizeConstraint,
+)
+from graph_mining_spark.operators.tiebreaking import best_neighbor_string_tiebreak
 
 __all__ = [
     "connected_components",
@@ -12,7 +27,17 @@ __all__ = [
     "triangle_counts",
     "affinity_cluster",
     "AffinityConfig",
+    "correlation_cluster",
+    "CorrelationConfig",
+    "modularity_cluster",
+    "coconductance_cluster",
+    "CoconductanceConfig",
+    "parhac",
+    "ParHacConfig",
     "quick_cluster",
     "sssp",
     "pairwise_similarity",
+    "enforce_max_cluster_size",
+    "SizeConstraint",
+    "best_neighbor_string_tiebreak",
 ]

@@ -1,0 +1,213 @@
+"""ParHac — bucketed (1+ε)-approximate hierarchical agglomerative
+clustering with parent-array dendrogram output.
+
+Parity target: /root/reference/in_memory/clustering/hac/parhac.h:40-79
+(ParHacClusterer; go/parhac-paper per its comments), dendrogram format
+/root/reference/in_memory/clustering/dendrogram.h:29-97, flat-cluster
+extraction parhac.cc:46-150.  TeraHac (terahac.h:40-66,
+arXiv:2308.03578) shares this bucketed-round shape — the trillion-edge
+variant differs in running whole SUBGRAPHS per round; this operator is
+the Spark-native round structure both build on.
+
+Semantics (average linkage): cluster similarity
+    sim(A, B) = W(A, B) / (|A| · |B|)
+with W = summed raw inter-cluster edge weight — exactly the
+DEFAULT_AVERAGE contraction the affinity CompressGraph already
+implements.  Per round:
+
+  1. W_max = max current similarity; stop when < linkage_threshold;
+  2. bucket = edges with sim ≥ max(W_max / (1+ε), linkage_threshold);
+  3. merge a deterministic MUTUAL-BEST matching inside the bucket
+     (each cluster's best incident bucket edge by (sim desc, id asc);
+     keep edges picked from both sides).  Average-linkage similarity
+     of an edge is untouched by merges of DISJOINT pairs, so batch
+     merging a matching equals some sequential merge order, and every
+     merge is within (1+ε) of W_max at its merge time — the same
+     (1+ε)²-closeness contract ParHac guarantees.  (The reference's
+     inner routine is randomized, ProcessHacBucketRandomized; the
+     deterministic matching keeps results reproducible and
+     oracle-checkable.)
+  4. each matched pair becomes a dendrogram internal node: ids are
+     n, n+1, ... assigned in (sim desc, child id asc) order within a
+     round — parent_id > child ids and ids < 2n−1, the parent-array
+     contract (dendrogram.h:75-96).
+
+With ε = 0 and distinct similarities the algorithm IS sequential
+average-linkage HAC (each round merges exactly the argmax edge) — the
+pytest oracle asserts exact merge-sequence parity there.
+
+Scale shape: edges live distributed keyed by cluster id; each round is
+one max-agg, one per-src window for best picks, a self-join for
+mutuality, and one contraction groupBy — all shuffle-bounded by the
+shrinking cluster graph.  The per-round matched set is cluster-count-
+sized; its id-assignment window is single-partition, which is fine up
+to ~10⁸ merges/round locally (beyond that, zipWithIndex).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graph_mining_spark.checkpoint import cut_lineage
+from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
+
+
+@dataclass
+class ParHacConfig:
+    epsilon: float = 0.1
+    # merges below this similarity never happen (reference
+    # linkage_threshold / HacConfig weight_threshold)
+    linkage_threshold: float = 1e-9
+    max_rounds: int = 10_000
+
+
+def parhac(
+    edges: DataFrame,
+    config: ParHacConfig | None = None,
+    already_symmetric: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Run bucketed approximate HAC.  Returns ``(dendrogram, labels)``:
+
+    dendrogram: (node_id, parent_id, merge_similarity) — one row per
+    dendrogram node (leaves = original vids, internal ≥ n); parent_id
+    null for roots (DendrogramNode.kNoParentId analog).
+    labels: (vid, label) — flat clustering at the linkage threshold
+    (each leaf's dendrogram root), label = min member vid.
+    """
+    cfg = config or ParHacConfig()
+    if cfg.epsilon < 0:
+        raise ValueError("epsilon must be >= 0")
+    spark = edges.sparkSession
+    sym = edges if already_symmetric else symmetrize(edges)
+    verts = vertex_ids(sym)
+    n = verts.agg(F.max("vid")).first()[0]
+    n = int(n) + 1 if n is not None else 0
+
+    # cluster state: edge table over cluster ids with RAW summed weight,
+    # sizes (cluster id -> member count); cluster id IS its dendrogram id
+    cur = cut_lineage(
+        remove_self_loops(sym).groupBy("src", "dst").agg(F.sum("weight").alias("w"))
+    )
+    sizes = cut_lineage(verts.select(F.col("vid").alias("cid"), F.lit(1).cast("long").alias("sz")))
+    # leaf -> current cluster id (for the flat labels at the end)
+    leaf_of = verts.select("vid", F.col("vid").alias("cid"))
+    dendro_rows: list[DataFrame] = []
+    next_id = n
+
+    for _ in range(cfg.max_rounds):
+        sz_s = sizes.select(F.col("cid").alias("src"), F.col("sz").alias("_ss"))
+        sz_d = sizes.select(F.col("cid").alias("dst"), F.col("sz").alias("_sd"))
+        scored = cur.join(sz_s, "src").join(sz_d, "dst").withColumn(
+            "sim", F.col("w") / (F.col("_ss") * F.col("_sd"))
+        )
+        wmax = scored.agg(F.max("sim")).first()[0]
+        if wmax is None or wmax < cfg.linkage_threshold:
+            break
+        lo = max(wmax / (1.0 + cfg.epsilon), cfg.linkage_threshold)
+        bucket = scored.filter(F.col("sim") >= lo).select("src", "dst", "sim")
+
+        # deterministic mutual-best matching
+        w_best = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+        best = (
+            bucket.withColumn("_r", F.row_number().over(w_best))
+            .filter(F.col("_r") == 1)
+            .select("src", "dst", "sim")
+        )
+        rev = best.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        matched = (
+            best.join(rev, ["src", "dst"], "left_semi")
+            .filter(F.col("src") < F.col("dst"))
+        )
+        # assign internal node ids in (sim desc, src asc) order
+        w_ids = Window.partitionBy(F.lit(1)).orderBy(F.col("sim").desc(), F.col("src").asc())
+        obs = Observation()
+        matched = cut_lineage(
+            matched.withColumn("pid", F.row_number().over(w_ids) + F.lit(next_id) - 1)
+            .observe(obs, F.count(F.lit(1)).alias("n_matched"))
+        )
+        n_matched = int(obs.get["n_matched"] or 0)
+        if n_matched == 0:
+            break
+        next_id += n_matched
+
+        dendro_rows.append(
+            matched.select(F.col("src").alias("node_id"), F.col("pid").alias("parent_id"), F.col("sim").alias("merge_similarity"))
+            .unionByName(
+                matched.select(F.col("dst").alias("node_id"), F.col("pid").alias("parent_id"), F.col("sim").alias("merge_similarity"))
+            )
+            # matched is lineage-cut; these projections re-read its
+            # checkpointed partitions cheaply at the final union
+        )
+
+        # relabel: merged children -> parent id, everyone else unchanged
+        mapping = (
+            matched.select(F.col("src").alias("cid"), F.col("pid"))
+            .unionByName(matched.select(F.col("dst").alias("cid"), F.col("pid")))
+        )
+        new_sizes = cut_lineage(
+            sizes.join(mapping, "cid", "left")
+            .select(F.coalesce("pid", "cid").alias("cid"), "sz")
+            .groupBy("cid")
+            .agg(F.sum("sz").alias("sz"))
+        )
+        map_s = mapping.select(F.col("cid").alias("src"), F.col("pid").alias("_ps"))
+        map_d = mapping.select(F.col("cid").alias("dst"), F.col("pid").alias("_pd"))
+        new_cur = cut_lineage(
+            cur.join(map_s, "src", "left")
+            .join(map_d, "dst", "left")
+            .select(
+                F.coalesce("_ps", F.col("src")).alias("src"),
+                F.coalesce("_pd", F.col("dst")).alias("dst"),
+                "w",
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+        leaf_of = cut_lineage(
+            leaf_of.join(mapping, "cid", "left").select("vid", F.coalesce("pid", "cid").alias("cid"))
+        )
+        cur = new_cur
+        sizes = new_sizes
+        if cur.isEmpty():
+            break
+
+    if dendro_rows:
+        merged_children = dendro_rows[0]
+        for d in dendro_rows[1:]:
+            merged_children = merged_children.unionByName(d)
+    else:
+        merged_children = spark.createDataFrame(
+            [], "node_id long, parent_id long, merge_similarity double"
+        )
+    # roots: every current cluster id (leaf or internal) has no parent
+    roots = sizes.select(
+        F.col("cid").alias("node_id"),
+        F.lit(None).cast("long").alias("parent_id"),
+        F.lit(None).cast("double").alias("merge_similarity"),
+    )
+    dendrogram = merged_children.unionByName(roots)
+
+    # flat labels at threshold: leaf's final cluster, canonical min vid
+    canon = leaf_of.groupBy("cid").agg(F.min("vid").alias("_c"))
+    labels = leaf_of.join(canon, "cid").select("vid", F.col("_c").alias("label"))
+    return dendrogram, labels
+
+
+def hac_merge_sequence(dendrogram: DataFrame) -> DataFrame:
+    """(parent_id, merge_similarity, members…) view of internal merges —
+    the comparison form the sequential oracle checks (sorted by
+    parent_id, which is assignment order)."""
+    return (
+        dendrogram.filter(F.col("parent_id").isNotNull())
+        .groupBy("parent_id")
+        .agg(
+            F.sort_array(F.collect_list("node_id")).alias("children"),
+            F.max("merge_similarity").alias("sim"),
+        )
+        .orderBy("parent_id")
+    )

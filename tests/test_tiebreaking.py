@@ -1,0 +1,71 @@
+"""String-keyed tie-breaking (tiebreaking.h:42-97 semantics): the
+selection must be partition-invariant, reproduce a Python argmax oracle
+over the same fingerprints, and be salt-sensitive on uniform weights."""
+
+from pyspark.sql import functions as F
+
+from graph_mining_spark.operators.tiebreaking import best_neighbor_string_tiebreak
+from tests.conftest import make_edges
+from tests.oracles import seeded_er_edges
+
+
+def _fixture(spark, n=20, uniform=True):
+    und = seeded_er_edges(n, 0.3, seed=21)
+    if uniform:
+        und = [(u, v, 1.0) for u, v, _ in und]
+    both = und + [(v, u, w) for u, v, w in und]
+    e = make_edges(spark, both)
+    keys = spark.createDataFrame(
+        [(i, f"repo{i % 4}:src/file_{i}.py") for i in range(n)], "vid long, key string"
+    )
+    return e, keys, both, n
+
+
+def test_matches_python_argmax_oracle(spark):
+    e, keys, both, n = _fixture(spark)
+    # collect the engine's own fingerprints, replicate the argmax in python
+    fps = {
+        (r["a"], r["b"]): r["fp"]
+        for r in keys.alias("x")
+        .crossJoin(keys.alias("y"))
+        .select(
+            F.col("x.vid").alias("a"),
+            F.col("y.vid").alias("b"),
+            F.xxhash64(
+                F.least(F.xxhash64("x.key"), F.xxhash64("y.key")).cast("string"),
+                F.greatest(F.xxhash64("x.key"), F.xxhash64("y.key")).cast("string"),
+            ).alias("fp"),
+        )
+        .collect()
+    }
+    adj = {}
+    for u, v, w in both:
+        adj.setdefault(u, []).append((v, w))
+    want = {}
+    for u, nbrs in adj.items():
+        best = max(nbrs, key=lambda t: (t[1], fps[(u, t[0])], t[0]))
+        want[u] = best[0]
+    got = {
+        r["src"]: r["dst"] for r in best_neighbor_string_tiebreak(e, keys).collect()
+    }
+    assert got == want
+
+
+def test_partition_invariance(spark):
+    e, keys, _, _ = _fixture(spark)
+    a = {(r["src"], r["dst"]) for r in best_neighbor_string_tiebreak(e, keys).collect()}
+    b = {
+        (r["src"], r["dst"])
+        for r in best_neighbor_string_tiebreak(e.repartition(17), keys.repartition(3)).collect()
+    }
+    assert a == b
+
+
+def test_salt_changes_uniform_weight_picks(spark):
+    e, keys, _, n = _fixture(spark)
+    salted = {r["src"]: r["dst"] for r in best_neighbor_string_tiebreak(e, keys, salted=True).collect()}
+    plain = {r["src"]: r["dst"] for r in best_neighbor_string_tiebreak(e, keys, salted=False).collect()}
+    # unsalted mode ranks every node's neighbors by ONE global key hash,
+    # salted mode by per-pair hashes — on uniform weights they disagree
+    # somewhere on any non-trivial graph
+    assert salted != plain
