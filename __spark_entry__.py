@@ -362,6 +362,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["coconductance_coparts"] = _cocond
 
+    # TeraHac — per-partition subgraph HAC; gated by exact-HAC parity
+    # at eps=0 in tests/test_terahac.py (rows-only here)
+    def _terahac(s, d):
+        from graph_mining_spark.operators.terahac import TeraHacConfig, terahac
+
+        labels, _log = terahac(
+            nations_edges(s, d), TeraHacConfig(epsilon=0.1, linkage_threshold=0.05)
+        )
+        return labels
+
+    q["terahac_labels_nations"] = _terahac
+
     def _linkgraph(s, d):
         # no vendored hub here so the component structure is non-trivial
         # (one shared-content component per language group)

@@ -12,6 +12,7 @@ from graph_mining_spark.operators.coconductance import (
     CoconductanceConfig,
 )
 from graph_mining_spark.operators.hac import parhac, ParHacConfig
+from graph_mining_spark.operators.terahac import terahac, TeraHacConfig
 from graph_mining_spark.operators.quick_cluster import quick_cluster
 from graph_mining_spark.operators.shortest_paths import sssp
 from graph_mining_spark.operators.similarity import pairwise_similarity
@@ -34,6 +35,8 @@ __all__ = [
     "CoconductanceConfig",
     "parhac",
     "ParHacConfig",
+    "terahac",
+    "TeraHacConfig",
     "quick_cluster",
     "sssp",
     "pairwise_similarity",

@@ -1,0 +1,323 @@
+"""TeraHac — (1+ε)-approximate HAC via per-partition subgraph HAC.
+
+Parity target: /root/reference/in_memory/clustering/hac/terahac.cc:57-160
+(TeraHacImplementation), terahac_internal.h:44-140 (subgraph wrapper),
+subgraph/approximate_subgraph_hac.cc:56-170 and
+approximate_subgraph_hac_graph.h:44-50 (the goodness rule) —
+arXiv:2308.03578, the trillion-edge HAC algorithm.  This is the round
+shape the paper runs on a cluster, expressed Spark-natively:
+
+  per round (terahac.cc:83-140):
+    1. active clusters = those whose best incident similarity exceeds
+       linkage_threshold / (1+ε);
+    2. partition active clusters with SIZE-CAPPED affinity clustering
+       (SizeConstrainedAffinity — our affinity_cluster with a
+       SizeConstraint max, reusing operators/size_constraint.py);
+    3. per partition, run ApproximateSubgraphHac sequentially on the
+       partition's subgraph plus FROZEN boundary neighbors
+       (terahac_internal.h: inactive nodes get node weight −1, their
+       cluster size never changes): repeatedly merge an active pair
+       (u, v) with
+
+         goodness(u, v) = max(best(u), best(v))
+                          / min(w(u, v), mm(u), mm(v)) ≤ 1 + ε
+
+       (approximate_subgraph_hac_graph.h:44-50), where best(·) ranges
+       over ALL incident edges (frozen included) and mm is the minimum
+       similarity over the merges that built the cluster
+       (approximate_subgraph_hac.cc:139-143);
+    4. apply merges globally (cluster = min member vid), contract, and
+       carry each cluster's mm to the next round.
+
+  The reference picks good edges from a bucketed priority queue; any
+  good edge preserves the (1+ε) guarantee — we take the minimum
+  goodness with a deterministic (goodness, u, v) tie-break so results
+  are reproducible.  The reference salts its partitioner by round; we
+  instead DOUBLE the partition cap whenever a round makes no merges
+  (a mutual-best pair split across partitions can stall; growing the
+  cap guarantees progress and terminates at exact subgraph HAC).
+
+At ε = 0 the goodness rule only admits mutual-best edges, and average
+linkage is reducible, so the result equals exact sequential HAC — the
+pytest gate asserts flat-cluster parity with the sequential oracle,
+with single- AND multi-partition configurations agreeing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graph_mining_spark.checkpoint import cut_lineage
+from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
+from graph_mining_spark.operators.affinity import AffinityConfig, affinity_cluster
+from graph_mining_spark.operators.size_constraint import SizeConstraint
+
+
+@dataclass
+class TeraHacConfig:
+    epsilon: float = 0.1
+    linkage_threshold: float = 1e-9
+    # partition cap for the size-constrained affinity step
+    # (terahac.cc:84: max(n/100, 1e6) — scaled down for local testing)
+    partition_max: int = 1 << 20
+    max_rounds: int = 100
+
+
+def _subgraph_hac_kernel(pdf, epsilon: float):
+    """Sequential ApproximateSubgraphHac over one partition's rows.
+
+    pdf columns: u, v, w (raw summed weight), su, sv (cluster sizes),
+    mu, mv (min-merge similarities), act_v (v active in this
+    partition).  All u rows are active members of the partition.
+    Returns rows (vid=child cluster id, label=new cluster id, sim,
+    new_mm, new_size) — one row per MERGED child, mapping it onto the
+    surviving min-id cluster, plus one row per survivor with its
+    updated mm/size.
+    """
+    import numpy as np  # noqa: F401
+    import pandas as pd
+
+    raw: dict = {}
+    size: dict = {}
+    mm: dict = {}
+    active: dict = {}
+    for u, v, w, su, sv, mu, mv, act_v in zip(
+        pdf["u"], pdf["v"], pdf["w"], pdf["su"], pdf["sv"], pdf["mu"], pdf["mv"], pdf["act_v"]
+    ):
+        u, v = int(u), int(v)
+        a, b = (u, v) if u < v else (v, u)
+        raw[(a, b)] = float(w)  # symmetric duplicates overwrite with same value
+        size[u], size[v] = float(su), float(sv)
+        mm[u], mm[v] = float(mu), float(mv)
+        # u rows are partition members (active); v is active only when
+        # it belongs to this partition too (it then also appears as u)
+        active[u] = True
+        active.setdefault(v, bool(act_v))
+
+    # adjacency
+    adj: dict = {}
+    for (a, b), w in raw.items():
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def sim(a, b):
+        k = (a, b) if a < b else (b, a)
+        return raw[k] / (size[a] * size[b])
+
+    merged_into: dict = {}
+    out_rows = []
+    while True:
+        # best incident similarity per active node
+        best = {}
+        for x, nbrs in adj.items():
+            if not nbrs:
+                continue
+            best[x] = max(sim(x, y) for y in nbrs)
+        cand = None
+        for (a, b) in raw:
+            if not (active.get(a) and active.get(b)):
+                continue
+            w_ab = sim(a, b)
+            denom = min(w_ab, mm[a], mm[b])
+            if denom <= 0:
+                continue
+            g = max(best[a], best[b]) / denom
+            if g <= 1.0 + epsilon + 1e-12:
+                key = (g, min(a, b), max(a, b))
+                if cand is None or key < cand[0]:
+                    cand = (key, a, b, w_ab)
+        if cand is None:
+            break
+        _, a, b, w_ab = cand
+        keep, gone = (a, b) if a < b else (b, a)
+        # merge `gone` into `keep`
+        new_mm = min(mm[keep], mm[gone], w_ab)
+        for x in list(adj.get(gone, ())):
+            kx = (gone, x) if gone < x else (x, gone)
+            w_gx = raw.pop(kx)
+            adj[x].discard(gone)
+            if x == keep:
+                continue
+            kk = (keep, x) if keep < x else (x, keep)
+            raw[kk] = raw.get(kk, 0.0) + w_gx
+            adj.setdefault(keep, set()).add(x)
+            adj.setdefault(x, set()).add(keep)
+        adj.pop(gone, None)
+        adj.setdefault(keep, set()).discard(gone)
+        size[keep] += size[gone]
+        mm[keep] = new_mm
+        active[gone] = False
+        merged_into[gone] = keep
+        out_rows.append((gone, keep, w_ab))
+
+    # path-compress merge targets
+    def root(x):
+        while x in merged_into:
+            x = merged_into[x]
+        return x
+
+    rows = []
+    seen_roots = set()
+    for child, _, s in out_rows:
+        r = root(child)
+        rows.append((child, r, s, mm[r], size[r]))
+        seen_roots.add(r)
+    for x, is_act in active.items():
+        if is_act and x not in merged_into:
+            rows.append((x, x, None, mm[x], size[x]))
+    return pd.DataFrame(
+        rows, columns=["vid", "label", "sim", "new_mm", "new_size"]
+    ).astype({"vid": "int64", "label": "int64"})
+
+
+def terahac(
+    edges: DataFrame,
+    config: TeraHacConfig | None = None,
+    already_symmetric: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Run TeraHac.  Returns ``(labels, merge_log)``:
+
+    labels: (vid, label) flat clustering at the linkage threshold,
+    label = min member vid (the reference Cluster() surface;
+    HierarchicalCluster's dendrogram surface is :func:`hac.parhac`).
+    merge_log: (round, vid, label, sim) — the per-round merges.
+    """
+    cfg = config or TeraHacConfig()
+    eps = float(cfg.epsilon)
+    spark = edges.sparkSession
+    sym = edges if already_symmetric else symmetrize(edges)
+    verts = vertex_ids(sym)
+
+    cur = cut_lineage(remove_self_loops(sym).groupBy("src", "dst").agg(F.sum("weight").alias("w")))
+    state = cut_lineage(
+        verts.select(
+            F.col("vid").alias("cid"),
+            F.lit(1.0).alias("sz"),
+            F.lit(float("inf")).alias("mm"),
+        )
+    )
+    leaf_of = cut_lineage(verts.select("vid", F.col("vid").alias("cid")))
+    merge_logs: list[DataFrame] = []
+    pruning = cfg.linkage_threshold / (1.0 + eps)
+    part_cap = int(cfg.partition_max)
+
+    for rnd in range(cfg.max_rounds):
+        st_s = state.select(F.col("cid").alias("src"), F.col("sz").alias("_ss"), F.col("mm").alias("_ms"))
+        st_d = state.select(F.col("cid").alias("dst"), F.col("sz").alias("_sd"), F.col("mm").alias("_md"))
+        scored = cur.join(st_s, "src").join(st_d, "dst").withColumn(
+            "sim", F.col("w") / (F.col("_ss") * F.col("_sd"))
+        )
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        best = scored.groupBy(F.col("src").alias("cid")).agg(F.max("sim").alias("_best"))
+        active = best.filter(F.col("_best") > pruning).select("cid")
+        n_active = active.count()
+        if n_active == 0:
+            scored.unpersist()
+            break
+
+        # partition actives: size-capped affinity over the active subgraph
+        act_edges = (
+            scored.join(active.withColumnRenamed("cid", "src"), "src", "left_semi")
+            .join(active.withColumnRenamed("cid", "dst"), "dst", "left_semi")
+            .select("src", "dst", F.col("sim").alias("weight"))
+        )
+        parts = affinity_cluster(
+            act_edges,
+            AffinityConfig(
+                num_iterations=1,
+                edge_aggregation="max",
+                size_constraint=SizeConstraint(max_cluster_size=part_cap),
+            ),
+            vertices=active.select(F.col("cid").alias("vid")),
+        )
+        parts = cut_lineage(parts.select(F.col("vid").alias("cid"), F.col("label").alias("part")))
+
+        # kernel input: every edge whose src is active & partitioned,
+        # tagged with whether dst is in the same partition (active) —
+        # boundary neighbors ride along frozen
+        p_src = parts.select(F.col("cid").alias("src"), F.col("part"))
+        p_dst = parts.select(F.col("cid").alias("dst"), F.col("part").alias("_pd"))
+        rows = (
+            scored.join(p_src, "src")
+            .join(p_dst, "dst", "left")
+            .select(
+                "part",
+                F.col("src").alias("u"),
+                F.col("dst").alias("v"),
+                "w",
+                F.col("_ss").alias("su"),
+                F.col("_sd").alias("sv"),
+                F.col("_ms").alias("mu"),
+                F.col("_md").alias("mv"),
+                (F.col("_pd").isNotNull() & (F.col("_pd") == F.col("part"))).alias("act_v"),
+            )
+        )
+        eps_local = eps
+
+        def run(pdf):
+            return _subgraph_hac_kernel(pdf, eps_local)
+
+        obs = Observation()
+        kout = cut_lineage(
+            rows.groupBy("part")
+            .applyInPandas(run, schema="vid long, label long, sim double, new_mm double, new_size double")
+            .observe(obs, F.sum(F.when(F.col("vid") != F.col("label"), 1).otherwise(0)).alias("n_merged"))
+        )
+        n_merged = int(obs.get["n_merged"] or 0)
+        scored.unpersist()
+        if n_merged == 0:
+            # a mutual-best pair may be split across partitions; grow
+            # the cap (terminates: cap >= n ==> one partition = exact)
+            if n_active <= part_cap:
+                break
+            part_cap *= 2
+            continue
+
+        merge_logs.append(
+            kout.filter(F.col("vid") != F.col("label"))
+            .select(F.lit(rnd).alias("round"), "vid", "label", "sim")
+        )
+        mapping = kout.filter(F.col("vid") != F.col("label")).select("vid", "label")
+        # labels for leaves
+        leaf_of = cut_lineage(
+            leaf_of.join(mapping.withColumnRenamed("vid", "cid"), "cid", "left")
+            .select("vid", F.coalesce("label", "cid").alias("cid"))
+        )
+        # contract edges
+        map_s = mapping.select(F.col("vid").alias("src"), F.col("label").alias("_ns"))
+        map_d = mapping.select(F.col("vid").alias("dst"), F.col("label").alias("_nd"))
+        cur = cut_lineage(
+            cur.join(map_s, "src", "left")
+            .join(map_d, "dst", "left")
+            .select(
+                F.coalesce("_ns", F.col("src")).alias("src"),
+                F.coalesce("_nd", F.col("dst")).alias("dst"),
+                "w",
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+        )
+        # new state: survivors from the kernel + untouched clusters
+        updated = kout.filter(F.col("vid") == F.col("label")).select(
+            F.col("label").alias("cid"), F.col("new_size").alias("sz"), F.col("new_mm").alias("mm")
+        )
+        untouched = state.join(
+            kout.select(F.col("vid").alias("cid")).distinct(), "cid", "left_anti"
+        )
+        state = cut_lineage(updated.unionByName(untouched))
+
+    if merge_logs:
+        log = merge_logs[0]
+        for d in merge_logs[1:]:
+            log = log.unionByName(d)
+    else:
+        log = spark.createDataFrame([], "round int, vid long, label long, sim double")
+
+    canon = leaf_of.groupBy("cid").agg(F.min("vid").alias("_c"))
+    labels = leaf_of.join(canon, "cid").select("vid", F.col("_c").alias("label"))
+    return labels, log
