@@ -2,7 +2,7 @@
 clustering with parent-array dendrogram output.
 
 Parity target: /root/reference/in_memory/clustering/hac/parhac.h:40-79
-(ParHacClusterer; go/parhac-paper per its comments), dendrogram format
+(ParHacClusterer; the ParHac paper its comments reference), dendrogram format
 /root/reference/in_memory/clustering/dendrogram.h:29-97, flat-cluster
 extraction parhac.cc:46-150.  TeraHac (terahac.h:40-66,
 arXiv:2308.03578) shares this bucketed-round shape — the trillion-edge
