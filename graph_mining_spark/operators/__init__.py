@@ -21,6 +21,10 @@ from graph_mining_spark.operators.size_constraint import (
     SizeConstraint,
 )
 from graph_mining_spark.operators.tiebreaking import best_neighbor_string_tiebreak
+from graph_mining_spark.operators.clique_aggregator import (
+    clique_aggregator,
+    CliqueAggregatorConfig,
+)
 
 __all__ = [
     "connected_components",
@@ -43,4 +47,6 @@ __all__ = [
     "enforce_max_cluster_size",
     "SizeConstraint",
     "best_neighbor_string_tiebreak",
+    "clique_aggregator",
+    "CliqueAggregatorConfig",
 ]
