@@ -47,7 +47,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -65,6 +65,9 @@ class TeraHacConfig:
     # (terahac.cc:84: max(n/100, 1e6) — scaled down for local testing)
     partition_max: int = 1 << 20
     max_rounds: int = 100
+    # also emit the parent-array dendrogram (dendrogram.h:29-97), the
+    # same surface parhac() returns; terahac() then returns a 3-tuple
+    output_dendrogram: bool = False
 
 
 def _subgraph_hac_kernel(pdf, epsilon: float):
@@ -77,11 +80,22 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
     new_mm, new_size) — one row per MERGED child, mapping it onto the
     surviving min-id cluster, plus one row per survivor with its
     updated mm/size.
-    """
-    import numpy as np  # noqa: F401
-    import pandas as pd
 
-    raw: dict = {}
+    Candidate selection is incremental (the Spark-side analog of the
+    reference's bucketed priority queue, approximate_subgraph_hac.cc:
+    56-170): per-node best similarities are maintained under merges,
+    and good edges live in a heap with versioned lazy invalidation.  A
+    merge only recomputes goodness for edges incident to the surviving
+    cluster and to neighbors whose best changed, so total kernel work
+    is O(Σ per-merge degree) instead of the previous O(E·M) full
+    rescans.  The popped candidate is still the exact global minimum
+    of (goodness, a, b), so results are bit-identical to the naive
+    scan.
+    """
+    import pandas as pd
+    from heapq import heappop, heappush
+
+    adj: dict = {}  # node -> {neighbor: raw summed weight}
     size: dict = {}
     mm: dict = {}
     active: dict = {}
@@ -89,8 +103,8 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
         pdf["u"], pdf["v"], pdf["w"], pdf["su"], pdf["sv"], pdf["mu"], pdf["mv"], pdf["act_v"]
     ):
         u, v = int(u), int(v)
-        a, b = (u, v) if u < v else (v, u)
-        raw[(a, b)] = float(w)  # symmetric duplicates overwrite with same value
+        adj.setdefault(u, {})[v] = float(w)  # symmetric dups overwrite equal
+        adj.setdefault(v, {})[u] = float(w)
         size[u], size[v] = float(su), float(sv)
         mm[u], mm[v] = float(mu), float(mv)
         # u rows are partition members (active); v is active only when
@@ -98,61 +112,115 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
         active[u] = True
         active.setdefault(v, bool(act_v))
 
-    # adjacency
-    adj: dict = {}
-    for (a, b), w in raw.items():
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-
     def sim(a, b):
-        k = (a, b) if a < b else (b, a)
-        return raw[k] / (size[a] * size[b])
+        return adj[a][b] / (size[a] * size[b])
+
+    # best incident similarity per node (frozen neighbors included —
+    # approximate_subgraph_hac_graph.h:44-50 ranges over ALL edges)
+    best: dict = {}
+    for x, nbrs in adj.items():
+        if nbrs:
+            best[x] = max(sim(x, y) for y in nbrs)
+
+    bound = 1.0 + epsilon + 1e-12
+    version: dict = {}  # canonical (a,b) -> int
+    heap: list = []
+
+    def goodness(a, b):
+        w_ab = sim(a, b)
+        denom = min(w_ab, mm[a], mm[b])
+        if denom <= 0:
+            return None, w_ab
+        return max(best[a], best[b]) / denom, w_ab
+
+    def refresh_edge(x, y):
+        """Recompute an edge's goodness; bump its version; (re)offer it
+        to the heap when it is a good both-active pair."""
+        a, b = (x, y) if x < y else (y, x)
+        ver = version.get((a, b), 0) + 1
+        version[(a, b)] = ver
+        if not (active.get(a) and active.get(b)):
+            return
+        g, w_ab = goodness(a, b)
+        if g is not None and g <= bound:
+            heappush(heap, (g, a, b, ver, w_ab))
+
+    for a in adj:
+        for b in adj[a]:
+            if a < b:
+                refresh_edge(a, b)
 
     merged_into: dict = {}
     out_rows = []
-    while True:
-        # best incident similarity per active node
-        best = {}
-        for x, nbrs in adj.items():
-            if not nbrs:
-                continue
-            best[x] = max(sim(x, y) for y in nbrs)
-        cand = None
-        for (a, b) in raw:
-            if not (active.get(a) and active.get(b)):
-                continue
-            w_ab = sim(a, b)
-            denom = min(w_ab, mm[a], mm[b])
-            if denom <= 0:
-                continue
-            g = max(best[a], best[b]) / denom
-            if g <= 1.0 + epsilon + 1e-12:
-                key = (g, min(a, b), max(a, b))
-                if cand is None or key < cand[0]:
-                    cand = (key, a, b, w_ab)
-        if cand is None:
-            break
-        _, a, b, w_ab = cand
-        keep, gone = (a, b) if a < b else (b, a)
-        # merge `gone` into `keep`
+    while heap:
+        g, a, b, ver, w_ab = heappop(heap)
+        if version.get((a, b)) != ver:
+            continue  # stale entry — a fresher version was pushed
+        if b not in adj.get(a, ()) or not (active.get(a) and active.get(b)):
+            continue  # edge deleted with a merged-away endpoint
+        keep, gone = a, b  # a < b by canonical heap key
+
+        # record pre-merge sims of all edges that are about to change
+        old_sim_keep = {x: sim(keep, x) for x in adj[keep]}
+        old_sim_gone = {x: sim(gone, x) for x in adj[gone]}
+
         new_mm = min(mm[keep], mm[gone], w_ab)
-        for x in list(adj.get(gone, ())):
-            kx = (gone, x) if gone < x else (x, gone)
-            w_gx = raw.pop(kx)
-            adj[x].discard(gone)
+        for x, w_gx in adj[gone].items():
             if x == keep:
                 continue
-            kk = (keep, x) if keep < x else (x, keep)
-            raw[kk] = raw.get(kk, 0.0) + w_gx
-            adj.setdefault(keep, set()).add(x)
-            adj.setdefault(x, set()).add(keep)
-        adj.pop(gone, None)
-        adj.setdefault(keep, set()).discard(gone)
+            nw = adj[keep].get(x, 0.0) + w_gx
+            adj[keep][x] = nw
+            adj[x][keep] = nw
+            del adj[x][gone]
+        del adj[keep][gone]
+        del adj[gone]
         size[keep] += size[gone]
         mm[keep] = new_mm
         active[gone] = False
+        best.pop(gone, None)
         merged_into[gone] = keep
         out_rows.append((gone, keep, w_ab))
+
+        # maintain per-node bests: keep always rescans (every incident
+        # sim changed); a neighbor rescans only when its previous best
+        # was one of the removed contributions and the replacement is
+        # smaller, or updates in O(1) when the new sim dominates
+        best_changed = set()
+        if adj[keep]:
+            nb = max(sim(keep, y) for y in adj[keep])
+            if nb != best.get(keep):
+                best[keep] = nb
+            best_changed.add(keep)  # mm/size changed ⇒ edges recompute anyway
+        else:
+            best.pop(keep, None)
+        for x in adj[keep]:
+            if x == keep:
+                continue
+            new_s = sim(x, keep)
+            old_b = best.get(x)
+            removed = []
+            if x in old_sim_keep:
+                removed.append(old_sim_keep[x])
+            if x in old_sim_gone:
+                removed.append(old_sim_gone[x])
+            if old_b is None or new_s >= old_b:
+                if new_s != old_b:
+                    best[x] = new_s
+                    best_changed.add(x)
+            elif old_b in removed:
+                nb = max(sim(x, y) for y in adj[x])
+                if nb != old_b:
+                    best[x] = nb
+                    best_changed.add(x)
+
+        # goodness can only have changed for edges incident to keep
+        # (sim/mm/best) or to a node whose best changed
+        for x in best_changed:
+            for y in adj.get(x, ()):
+                refresh_edge(x, y)
+        if keep not in best_changed:
+            for y in adj.get(keep, ()):
+                refresh_edge(keep, y)
 
     # path-compress merge targets
     def root(x):
@@ -160,18 +228,22 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
             x = merged_into[x]
         return x
 
+    part = int(pdf["part"].iloc[0])
     rows = []
-    seen_roots = set()
-    for child, _, s in out_rows:
+    for seq, (child, into, s) in enumerate(out_rows):
         r = root(child)
-        rows.append((child, r, s, mm[r], size[r]))
-        seen_roots.add(r)
+        # `into` is the surviving cluster AT MERGE TIME and `seq` the
+        # within-partition merge order — together they reconstruct the
+        # binary dendrogram chain (label is the path-compressed final
+        # root the contraction step needs)
+        rows.append((part, child, r, s, mm[r], size[r], into, seq))
     for x, is_act in active.items():
         if is_act and x not in merged_into:
-            rows.append((x, x, None, mm[x], size[x]))
+            rows.append((part, x, x, None, mm[x], size[x], None, None))
     return pd.DataFrame(
-        rows, columns=["vid", "label", "sim", "new_mm", "new_size"]
-    ).astype({"vid": "int64", "label": "int64"})
+        rows,
+        columns=["part", "vid", "label", "sim", "new_mm", "new_size", "into", "seq"],
+    ).astype({"part": "int64", "vid": "int64", "label": "int64"})
 
 
 def terahac(
@@ -179,12 +251,16 @@ def terahac(
     config: TeraHacConfig | None = None,
     already_symmetric: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
-    """Run TeraHac.  Returns ``(labels, merge_log)``:
+    """Run TeraHac.  Returns ``(labels, merge_log)`` — or, with
+    ``config.output_dendrogram``, ``(labels, merge_log, dendrogram)``:
 
     labels: (vid, label) flat clustering at the linkage threshold,
-    label = min member vid (the reference Cluster() surface;
-    HierarchicalCluster's dendrogram surface is :func:`hac.parhac`).
+    label = min member vid (the reference Cluster() surface).
     merge_log: (round, vid, label, sim) — the per-round merges.
+    dendrogram: (node_id, parent_id, merge_similarity) parent-array
+    rows, the same surface :func:`hac.parhac` returns
+    (dendrogram.h:29-97): leaves = vids, internal ids ≥ n in merge
+    order, parent_id null for roots.
     """
     cfg = config or TeraHacConfig()
     eps = float(cfg.epsilon)
@@ -202,6 +278,7 @@ def terahac(
     )
     leaf_of = cut_lineage(verts.select("vid", F.col("vid").alias("cid")))
     merge_logs: list[DataFrame] = []
+    dendro_logs: list[DataFrame] = []
     pruning = cfg.linkage_threshold / (1.0 + eps)
     part_cap = int(cfg.partition_max)
 
@@ -264,7 +341,11 @@ def terahac(
         obs = Observation()
         kout = cut_lineage(
             rows.groupBy("part")
-            .applyInPandas(run, schema="vid long, label long, sim double, new_mm double, new_size double")
+            .applyInPandas(
+                run,
+                schema="part long, vid long, label long, sim double, "
+                "new_mm double, new_size double, into long, seq long",
+            )
             .observe(obs, F.sum(F.when(F.col("vid") != F.col("label"), 1).otherwise(0)).alias("n_merged"))
         )
         n_merged = int(obs.get["n_merged"] or 0)
@@ -281,6 +362,13 @@ def terahac(
             kout.filter(F.col("vid") != F.col("label"))
             .select(F.lit(rnd).alias("round"), "vid", "label", "sim")
         )
+        if cfg.output_dendrogram:
+            dendro_logs.append(
+                kout.filter(F.col("vid") != F.col("label")).select(
+                    F.lit(rnd).alias("round"), "part", "seq",
+                    F.col("vid").alias("gone"), "into", "sim",
+                )
+            )
         mapping = kout.filter(F.col("vid") != F.col("label")).select("vid", "label")
         # labels for leaves
         leaf_of = cut_lineage(
@@ -320,4 +408,52 @@ def terahac(
 
     canon = leaf_of.groupBy("cid").agg(F.min("vid").alias("_c"))
     labels = leaf_of.join(canon, "cid").select("vid", F.col("_c").alias("label"))
-    return labels, log
+    if not cfg.output_dendrogram:
+        return labels, log
+
+    # ---- parent-array dendrogram (dendrogram.h:29-97), ParHac surface ----
+    # Each raw merge (gone, into) at time t = (round, part, seq) becomes
+    # an internal node; its two children are the dendrogram nodes that
+    # represented `gone` and `into` just before t — i.e. each cluster
+    # id's previous internal node (lag over its participation sequence),
+    # or the leaf id itself.  Cluster ids are stable min-member vids, so
+    # the participation chain is well-keyed across rounds.  The id-
+    # assignment window is single-partition like parhac's (fine to ~1e8
+    # merges; zipWithIndex beyond).
+    n = verts.agg(F.max("vid")).first()[0]
+    n = int(n) + 1 if n is not None else 0
+    if dendro_logs:
+        dlog = dendro_logs[0]
+        for d in dendro_logs[1:]:
+            dlog = dlog.unionByName(d)
+    else:
+        dlog = spark.createDataFrame(
+            [], "round int, part long, seq long, gone long, into long, sim double"
+        )
+    w_ids = Window.partitionBy(F.lit(1)).orderBy("round", "part", "seq")
+    m = dlog.withColumn("pid", F.row_number().over(w_ids) + F.lit(n) - 1)
+    partic = m.select(
+        F.col("gone").alias("cluster"), "round", "part", "seq", "pid", "sim"
+    ).unionByName(
+        m.select(F.col("into").alias("cluster"), "round", "part", "seq", "pid", "sim")
+    )
+    w_ch = Window.partitionBy("cluster").orderBy("round", "part", "seq")
+    children = partic.select(
+        F.coalesce(F.lag("pid").over(w_ch), F.col("cluster")).alias("node_id"),
+        F.col("pid").alias("parent_id"),
+        F.col("sim").alias("merge_similarity"),
+    )
+    # roots: every final cluster's last internal node (max pid = latest
+    # by construction), or the untouched leaf itself
+    last_pid = partic.groupBy("cluster").agg(F.max("pid").alias("_lp"))
+    roots = (
+        state.select(F.col("cid").alias("cluster"))
+        .join(last_pid, "cluster", "left")
+        .select(
+            F.coalesce("_lp", F.col("cluster")).alias("node_id"),
+            F.lit(None).cast("long").alias("parent_id"),
+            F.lit(None).cast("double").alias("merge_similarity"),
+        )
+    )
+    dendrogram = children.unionByName(roots)
+    return labels, log, dendrogram
