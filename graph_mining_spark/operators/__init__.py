@@ -25,6 +25,11 @@ from graph_mining_spark.operators.clique_aggregator import (
     clique_aggregator,
     CliqueAggregatorConfig,
 )
+from graph_mining_spark.operators.parline import (
+    parline,
+    ParlineConfig,
+    affinity_hierarchy_paths,
+)
 
 __all__ = [
     "connected_components",
@@ -49,4 +54,7 @@ __all__ = [
     "best_neighbor_string_tiebreak",
     "clique_aggregator",
     "CliqueAggregatorConfig",
+    "parline",
+    "ParlineConfig",
+    "affinity_hierarchy_paths",
 ]

@@ -138,16 +138,26 @@ def min_weighted_size_tree_partitioning(parent_ids, node_weights, thr):
     -1}; returns the result parent map."""
     if thr < 0:
         raise ValueError("negative min_weight_threshold")
+    from collections import deque
+
+    # All iteration below runs in ascending-id order: the reference
+    # builds children lists by a topological BFS seeded in node-id
+    # order (min_size_tree_partitioning.cc:46-53), and child order
+    # changes the partitioning result — seeding from dict insertion
+    # order (= shuffle row order) would make results depend on the
+    # partitioning of the input.
+    ids = sorted(parent_ids)
     children: dict = {}
     subtree_w = dict(node_weights)
-    indeg = {i: 0 for i in parent_ids}
-    for i, p in parent_ids.items():
+    indeg = {i: 0 for i in ids}
+    for i in ids:
+        p = parent_ids[i]
         if p != -1:
             indeg[p] += 1
-    queue = [i for i, d in indeg.items() if d == 0]
+    queue = deque(i for i in ids if indeg[i] == 0)
     processed = 0
     while queue:
-        cur = queue.pop(0)
+        cur = queue.popleft()
         processed += 1
         p = parent_ids[cur]
         if p != -1:
@@ -159,8 +169,8 @@ def min_weighted_size_tree_partitioning(parent_ids, node_weights, thr):
     if processed != len(parent_ids):
         raise ValueError("invalid parent ids: cycle detected")
     result = dict(parent_ids)
-    for i, p in parent_ids.items():
-        if p == -1 and subtree_w[i] > thr:
+    for i in ids:
+        if parent_ids[i] == -1 and subtree_w[i] > thr:
             _partition_subtree(i, thr, children, subtree_w, node_weights, result)
     return result
 
