@@ -31,8 +31,22 @@ correlation.proto:117-126): every vertex computes its best move
 against the same snapshot and all positive moves apply at once —
 deterministic given the vertex ids, which is what lets a sequential
 Python oracle (tests) and a DuckDB SQL twin (driver gate) reproduce
-results exactly.  The reference notes sync may reach a lower objective
-than async but is the deterministic contract.
+results exactly.
+
+Documented non-goals (reference config surface we deliberately do not
+implement, with the proto's own quality/speed numbers):
+  * ASYNCHRONOUS moves (use_synchronous = false, the reference's
+    default): per the proto, async is "up to 2.50x faster (median of
+    1.21x) and gives between a 1.29 -- 156.01% increase in objective"
+    but is non-deterministic (correlation.proto:117-126).  Async
+    depends on racy shared-memory label reads; a Spark superstep has
+    no analog, and non-determinism would break both the DuckDB
+    differential gate and the N-vs-4N equivalence requirement.
+  * Multi-level REFINEMENT (use_refinement, correlation.proto:128-134):
+    "1.12 -- 36.92% increase in objective ... up to a 2.29x slowdown
+    (median 1.67x), 1.40 -- 23.68x memory overhead".  Orthogonal
+    quality knob; the level/contraction machinery here could host it
+    later.
 
 Scale shape: each round is one edges⋈labels join partitioned on dst,
 one (u, cluster)-grouped partial-aggregated sum, two vertex-sized
@@ -69,6 +83,14 @@ class CorrelationConfig:
     edge_weight_offset: float = 0.0
     louvain_num_iterations: int = 10
     louvain_num_inner_iterations: int = 10
+    # Bipartite objective (correlation.proto:141-157): missing edges
+    # between same-part nodes are NOT penalized —
+    #   w'_uv = w_uv − offset − res·k_u·k_v   ({u,v} ∈ E)
+    #         = 0                              (non-edge, same part)
+    #         = −res·k_u·k_v                   (non-edge, different part)
+    # Requires a (vid, part) DataFrame with part ∈ {0, 1}
+    # (graph_mining.Node.part semantics).
+    use_bipartite_objective: bool = False
 
 
 def best_moves(
@@ -77,6 +99,7 @@ def best_moves(
     node_weights: DataFrame,
     resolution: float = 0.0,
     edge_weight_offset: float = 0.0,
+    parts: DataFrame | None = None,
 ) -> DataFrame:
     """One synchronous best-move round.  Returns the new ``(vid, label)``
     with every positive-delta move applied; a vertex whose best move is
@@ -86,9 +109,17 @@ def best_moves(
     ``edges`` must be symmetrized (both orientations) without the
     weights already offset; ``labels`` (vid, label); ``node_weights``
     (vid, node_weight).
+
+    With ``parts`` (vid, part ∈ {0,1}) the BIPARTITE objective applies
+    (BestMoveFromStatsForBipartiteGraph, correlation_util.h:168-240):
+    the missing-edge penalty for u only counts the OPPOSITE-part weight
+    of each cluster, K_X[1−p(u)] — same-part non-edges cost nothing —
+    so  leave = s_uA − res·k_u·K_A[1−p]  (no −k_u correction: u is not
+    in its opposite-part sum) and  gain(C) = s_uC − res·k_u·K_C[1−p].
     """
     res = float(resolution)
     off = float(edge_weight_offset)
+    bip = parts is not None
 
     lab_nw = labels.join(node_weights, "vid")
     # cluster weights K_C and sizes — cluster-count-sized
@@ -111,6 +142,27 @@ def best_moves(
         cw.select(F.col("label").alias("_A"), F.col("_K").alias("_KA"), F.col("_n").alias("_nA")),
         "_A",
     )
+    if bip:
+        # per-(cluster, part) weights; each u penalizes with the
+        # opposite-part slice of the target/current cluster
+        cwp = (
+            lab_nw.join(parts.select("vid", "part"), "vid")
+            .groupBy("label", "part")
+            .agg(F.sum("node_weight").alias("_Kp"))
+        )
+        own = (
+            own.join(parts.select("vid", F.col("part").alias("_p")), "vid")
+            .join(
+                cwp.select(
+                    F.col("label").alias("_A"),
+                    (1 - F.col("part")).alias("_p"),
+                    F.col("_Kp").alias("_KAopp"),
+                ),
+                ["_A", "_p"],
+                "left",
+            )
+            .fillna({"_KAopp": 0.0})
+        )
 
     cand = (
         s_uc.join(own, "vid")
@@ -119,6 +171,16 @@ def best_moves(
             "_C",
         )
     )
+    if bip:
+        cand = cand.join(
+            cwp.select(
+                F.col("label").alias("_C"),
+                (1 - F.col("part")).alias("_p"),
+                F.col("_Kp").alias("_KCopp"),
+            ),
+            ["_C", "_p"],
+            "left",
+        ).fillna({"_KCopp": 0.0})
     # synchronous-swap guard (deterministic symmetry breaking, cf.
     # Grappolo's singleton-swap heuristic, Lu–Halappanavar–Kalyanaraman
     # 2015): when BOTH the current and the target cluster are
@@ -126,10 +188,14 @@ def best_moves(
     # move — otherwise two mutual singletons would swap labels forever
     # under simultaneous application.
     swap_blocked = (F.col("_nA") == 1) & (F.col("_nC") == 1) & (F.col("_C") > F.col("_A"))
-    # objective u currently contributes to A (the "leave cost")
-    leave = F.col("_sA") - F.lit(res) * F.col("_k") * (F.col("_KA") - F.col("_k"))
+    # objective u currently contributes to A (the "leave cost"); in
+    # bipartite mode only the opposite-part weight penalizes
+    gain_expr = F.col("_s") - F.lit(res) * F.col("_k") * (
+        F.col("_KCopp") if bip else F.col("_KC")
+    )
+    group_keys = ["vid", "_A", "_k", "_KAopp"] if bip else ["vid", "_A", "_k", "_KA"]
     # per-u: s_uA (0 when u has no intra-cluster edge) via conditional agg
-    per_u = cand.groupBy("vid", "_A", "_k", "_KA").agg(
+    per_u = cand.groupBy(*group_keys).agg(
         F.coalesce(
             F.sum(F.when(F.col("_C") == F.col("_A"), F.col("_s"))), F.lit(0.0)
         ).alias("_sA"),
@@ -138,12 +204,12 @@ def best_moves(
         F.max(
             F.when(
                 (F.col("_C") != F.col("_A")) & ~swap_blocked,
-                F.struct(
-                    (F.col("_s") - F.lit(res) * F.col("_k") * F.col("_KC")).alias("g"),
-                    (-F.col("_C")).alias("negc"),
-                ),
+                F.struct(gain_expr.alias("g"), (-F.col("_C")).alias("negc")),
             )
         ).alias("_best"),
+    )
+    leave = F.col("_sA") - F.lit(res) * F.col("_k") * (
+        F.col("_KAopp") if bip else (F.col("_KA") - F.col("_k"))
     )
     delta_new = -leave
     delta_best = F.col("_best.g") - leave
@@ -160,19 +226,19 @@ def best_moves(
     # vertices with no incident edges never appear in s_uc: for them
     # delta_new = res·k_u·(K_A − k_u) — positive when sharing a cluster
     # with others (leaving a cluster you touch nothing in always helps
-    # under resolution > 0); from singletons it is 0 (no move)
+    # under resolution > 0); from singletons it is 0 (no move).
+    # Bipartite: the shared-cluster penalty is only the opposite-part
+    # weight, res·k_u·K_A[1−p].
+    iso_gain = F.lit(res) * F.col("_k") * (
+        F.col("_KAopp") if bip else (F.col("_KA") - F.col("_k"))
+    )
     isolated = (
         labels.join(s_uc.select("vid").distinct(), "vid", "left_anti")
         .join(own, "vid")
         .select(
             "vid",
-            F.when(
-                F.lit(res) * F.col("_k") * (F.col("_KA") - F.col("_k")) > 0,
-                -(F.col("vid") + 1),
-            )
-            .otherwise(F.col("_A"))
-            .alias("label"),
-            (F.lit(res) * F.col("_k") * (F.col("_KA") - F.col("_k")) > 0).alias("_moved"),
+            F.when(iso_gain > 0, -(F.col("vid") + 1)).otherwise(F.col("_A")).alias("label"),
+            (iso_gain > 0).alias("_moved"),
         )
     )
     return moved.unionByName(isolated)
@@ -183,6 +249,7 @@ def correlation_cluster(
     config: CorrelationConfig | None = None,
     node_weights: DataFrame | None = None,
     already_symmetric: bool = False,
+    parts: DataFrame | None = None,
 ) -> DataFrame:
     """Louvain local search for the correlation objective.  Returns
     ``(vid, label)`` canonicalized to label = min member vid.
@@ -190,8 +257,19 @@ def correlation_cluster(
     ``edges`` may be directed; symmetrized with MAX dedup first (the
     reference requires an undirected input graph,
     parallel_correlation.h:36-39).
+
+    With ``config.use_bipartite_objective``, ``parts`` (vid, part ∈
+    {0,1}) is required and the bipartite objective applies (see
+    :class:`CorrelationConfig`); vertices missing from ``parts``
+    default to part 0.
     """
     cfg = config or CorrelationConfig()
+    if cfg.use_bipartite_objective:
+        if parts is None:
+            raise ValueError("use_bipartite_objective requires parts (vid, part)")
+        return _correlation_cluster_bipartite(
+            edges, cfg, node_weights, already_symmetric, parts
+        )
     sym = edges if already_symmetric else symmetrize(edges)
     verts = vertex_ids(sym)
     nw = (
@@ -242,6 +320,112 @@ def correlation_cluster(
     out = labels.join(canon, "label").select("vid", F.col("_c").alias("label"))
     cur_edges.unpersist()
     return out
+
+
+def _correlation_cluster_bipartite(
+    edges: DataFrame,
+    cfg: CorrelationConfig,
+    node_weights: DataFrame | None,
+    already_symmetric: bool,
+    parts: DataFrame,
+) -> DataFrame:
+    """Bipartite-objective Louvain.  The level structure mirrors the
+    reference's bipartite path (parallel_correlation.cc:483-530,
+    PrepareBipartiteGraphCompression): contraction groups by
+    (cluster, part) — nodes of the same cluster but different parts are
+    NOT merged, so every level node carries a part — and both part-nodes
+    of a cluster START the next level co-clustered.  New node ids are
+    2·L+part with L = min original member vid (pure arithmetic, keeps
+    ids nonnegative and disjoint from fresh negative labels)."""
+    sym = edges if already_symmetric else symmetrize(edges)
+    verts = vertex_ids(sym)
+    nw = (
+        node_weights.select("vid", F.col("node_weight").cast("double"))
+        if node_weights is not None
+        else verts.select("vid", F.lit(1.0).alias("node_weight"))
+    )
+    p0 = parts.select("vid", F.col("part").cast("int").alias("part"))
+
+    node_of = cut_lineage(verts.select("vid", F.col("vid").alias("node")))
+    cur_labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
+    cur_edges = sym.select("src", "dst", "weight").persist(StorageLevel.MEMORY_AND_DISK)
+    cur_nw = nw
+    cur_parts = cut_lineage(
+        verts.join(p0, "vid", "left").select("vid", F.coalesce("part", F.lit(0)).alias("part"))
+    )
+
+    for level in range(cfg.louvain_num_iterations):
+        level_moved = 0
+        for _ in range(cfg.louvain_num_inner_iterations):
+            stepped = best_moves(
+                cur_edges, cur_labels, cur_nw, cfg.resolution, cfg.edge_weight_offset,
+                parts=cur_parts,
+            )
+            obs = Observation()
+            cur_labels = cut_lineage(
+                stepped.observe(obs, F.sum(F.col("_moved").cast("long")).alias("n"))
+                .select("vid", "label")
+            )
+            n_moved = int(obs.get["n"] or 0)
+            level_moved += n_moved
+            if n_moved == 0:
+                break
+        if level_moved == 0 or level + 1 >= cfg.louvain_num_iterations:
+            break
+
+        # contraction by (cluster, part); canonical L = min orig member
+        memb = node_of.join(
+            cur_labels.select(F.col("vid").alias("node"), "label"), "node"
+        )
+        canon = memb.groupBy("label").agg(F.min("vid").alias("_L"))
+        node_map = cut_lineage(
+            cur_labels.select(F.col("vid").alias("node"), "label")
+            .join(canon, "label")
+            .join(cur_parts.select(F.col("vid").alias("node"), "part"), "node")
+            .select(
+                "node",
+                (F.col("_L") * 2 + F.col("part")).alias("_nn"),
+                "part",
+                F.col("_L"),
+            )
+        )
+        node_of = cut_lineage(
+            node_of.join(node_map.select("node", "_nn"), "node")
+            .select("vid", F.col("_nn").alias("node"))
+        )
+        map_s = node_map.select(F.col("node").alias("src"), F.col("_nn").alias("_ns"))
+        map_d = node_map.select(F.col("node").alias("dst"), F.col("_nn").alias("_nd"))
+        new_edges = (
+            cur_edges.join(map_s, "src")
+            .join(map_d, "dst")
+            .select(F.col("_ns").alias("src"), F.col("_nd").alias("dst"), "weight")
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        new_nw = (
+            cur_nw.join(node_map.select(F.col("node").alias("vid"), "_nn"), "vid")
+            .groupBy(F.col("_nn").alias("vid"))
+            .agg(F.sum("node_weight").alias("node_weight"))
+        )
+        old = cur_edges
+        cur_edges = cut_lineage(new_edges)
+        old.unpersist()
+        cur_nw = cut_lineage(new_nw)
+        cur_parts = cut_lineage(node_map.select(F.col("_nn").alias("vid"), "part").distinct())
+        cur_labels = cut_lineage(
+            node_map.select(F.col("_nn").alias("vid"), (F.col("_L") * 2).alias("label")).distinct()
+        )
+        if cur_edges.isEmpty():
+            break
+
+    out = node_of.join(
+        cur_labels.select(F.col("vid").alias("node"), "label"), "node"
+    ).select("vid", "label")
+    canon = out.groupBy("label").agg(F.min("vid").alias("_c"))
+    res = out.join(canon, "label").select("vid", F.col("_c").alias("label"))
+    cur_edges.unpersist()
+    return res
 
 
 def modularity_cluster(

@@ -115,6 +115,93 @@ def _spark_labels(df):
     return {r["vid"]: r["label"] for r in df.collect()}
 
 
+def louvain_bipartite_oracle(vids, und_edges, part_of, res=0.0, off=0.0, levels=10, inner=10):
+    """Sequential replica of the bipartite-objective path: penalties use
+    only the opposite-part cluster weight; contraction groups by
+    (cluster, part) with new ids 2·L+part (L = min original member) and
+    both part-nodes start the next level co-clustered."""
+    vids = list(vids)
+    adj = _sym_adj(und_edges)
+    node_of = {v: v for v in vids}
+    cur_nodes = list(vids)
+    nw = {v: 1.0 for v in cur_nodes}
+    pt = {v: part_of[v] for v in cur_nodes}
+    lab = {v: v for v in cur_nodes}
+
+    for level in range(levels):
+        level_moved = 0
+        for _round in range(inner):
+            Kp = defaultdict(float)
+            cnt = defaultdict(int)
+            for v in cur_nodes:
+                Kp[(lab[v], 1 - pt[v])] += 0.0  # ensure key space irrelevant
+                Kp[(lab[v], pt[v])] += nw[v]
+                cnt[lab[v]] += 1
+            new_lab = {}
+            moved = 0
+            for u in cur_nodes:
+                a, k, p = lab[u], nw[u], pt[u]
+                s = defaultdict(float)
+                for v, w in adj.get(u, {}).items():
+                    s[lab[v]] += w - off
+                leave = s.get(a, 0.0) - res * k * Kp.get((a, 1 - p), 0.0)
+                delta_new = -leave
+                best = None
+                for c, sc in s.items():
+                    if c == a:
+                        continue
+                    if cnt[a] == 1 and cnt[c] == 1 and c > a:
+                        continue
+                    d = sc - res * k * Kp.get((c, 1 - p), 0.0) - leave
+                    if best is None or d > best[0] or (d == best[0] and c < best[1]):
+                        best = (d, c)
+                if best is not None and best[0] > delta_new and best[0] > 0:
+                    new_lab[u] = best[1]
+                    moved += 1
+                elif delta_new > 0:
+                    new_lab[u] = -(u + 1)
+                    moved += 1
+                else:
+                    new_lab[u] = a
+            lab = new_lab
+            level_moved += moved
+            if moved == 0:
+                break
+        if level_moved == 0 or level + 1 >= levels:
+            break
+        # contraction by (cluster, part)
+        members = defaultdict(list)
+        for ov, node in node_of.items():
+            members[lab[node]].append(ov)
+        L = {c: min(ms) for c, ms in members.items()}
+        nn = {v: 2 * L[lab[v]] + pt[v] for v in cur_nodes}
+        node_of = {ov: nn[node] for ov, node in node_of.items()}
+        new_adj = defaultdict(dict)
+        new_nw = defaultdict(float)
+        new_pt = {}
+        init_lab = {}
+        for v in cur_nodes:
+            new_nw[nn[v]] += nw[v]
+            new_pt[nn[v]] = pt[v]
+            init_lab[nn[v]] = 2 * L[lab[v]]
+        for u in cur_nodes:
+            for v, w in adj.get(u, {}).items():
+                if nn[u] != nn[v]:
+                    new_adj[nn[u]][nn[v]] = new_adj[nn[u]].get(nn[v], 0.0) + w
+        adj = new_adj
+        cur_nodes = sorted(new_nw)
+        nw = dict(new_nw)
+        pt = new_pt
+        lab = init_lab
+        if not any(adj.values()):
+            break
+
+    members = defaultdict(list)
+    for ov, node in node_of.items():
+        members[lab[node]].append(ov)
+    return {ov: min(members[lab[node]]) for ov, node in node_of.items()}
+
+
 def test_two_cliques_weak_bridge(spark):
     # two triangles bridged by one weak edge; offset 0.25 makes the
     # bridge unattractive -> exactly two communities
@@ -153,6 +240,66 @@ def test_oracle_parity_er(spark, seed, res, off):
     got_common = {v: lab for v, lab in got.items()}
     want_common = {v: want[v] for v in got_common}
     assert canonicalize_clusters(got_common) == canonicalize_clusters(want_common)
+
+
+def _parts_df(spark, part_of):
+    return spark.createDataFrame(
+        [(int(v), int(p)) for v, p in part_of.items()], "vid long, part int"
+    )
+
+
+def test_bipartite_objective_does_not_penalize_same_part(spark):
+    # star u1—v, u2—v (v part 1; u1,u2 part 0) at res=0.6: the standard
+    # objective stops at {v,u1},{u2} (second join costs 1−0.6·2 < 0),
+    # the bipartite objective merges all three (only v's weight
+    # penalizes: 1−0.6 > 0) — correlation.proto:141-157 semantics
+    edges = [(1, 0, 1.0), (2, 0, 1.0)]
+    part_of = {0: 1, 1: 0, 2: 0}
+    cfg_std = CorrelationConfig(resolution=0.6)
+    std = canonicalize_clusters(_spark_labels(correlation_cluster(make_edges(spark, edges), cfg_std)))
+    assert all(len(c) <= 2 for c in std)
+    cfg_bip = CorrelationConfig(resolution=0.6, use_bipartite_objective=True)
+    bip = canonicalize_clusters(_spark_labels(
+        correlation_cluster(make_edges(spark, edges), cfg_bip, parts=_parts_df(spark, part_of))
+    ))
+    assert bip == [(0, 1, 2)]
+
+
+@pytest.mark.parametrize("seed,res,off", [(2, 0.1, 0.0), (9, 0.3, 0.25), (14, 0.05, 0.5)])
+def test_bipartite_oracle_parity(spark, seed, res, off):
+    # random bipartite graph: parts 0..n1-1 | n1..n-1, edges cross-part
+    import random
+
+    rng = random.Random(seed)
+    n1, n2 = 12, 14
+    n = n1 + n2
+    und = [
+        (u, n1 + v, (1 + (u * 5 + v * 11 + seed) % 4) * 0.25)
+        for u in range(n1)
+        for v in range(n2)
+        if rng.random() < 0.25
+    ]
+    part_of = {v: (0 if v < n1 else 1) for v in range(n)}
+    cfg = CorrelationConfig(
+        resolution=res, edge_weight_offset=off, use_bipartite_objective=True,
+        louvain_num_iterations=4, louvain_num_inner_iterations=6,
+    )
+    got = _spark_labels(
+        correlation_cluster(make_edges(spark, und), cfg, parts=_parts_df(spark, part_of))
+    )
+    want = louvain_bipartite_oracle(
+        range(n), und, part_of, res=res, off=off, levels=4, inner=6
+    )
+    want = {v: want[v] for v in got}
+    assert canonicalize_clusters(got) == canonicalize_clusters(want)
+
+
+def test_bipartite_requires_parts(spark):
+    with pytest.raises(ValueError):
+        correlation_cluster(
+            make_edges(spark, [(0, 1, 1.0)]),
+            CorrelationConfig(use_bipartite_objective=True),
+        )
 
 
 def test_objective_improves_over_singletons(spark):
