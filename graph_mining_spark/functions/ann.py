@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from graph_mining_spark.checkpoint import cut_lineage
+
 
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
@@ -54,7 +56,7 @@ def cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def _hyperplane_bits(vec_sql_col: str, dim: int, n_planes: int, plane_offset: int = 0):
+def _hyperplane_bits(vec_sql_col: str, n_planes: int, plane_offset: int = 0):
     """Deterministic random-hyperplane signature: plane p component d =
     uniform(-0.5, 0.5) derived from md5(p:d); bit p = sign(dot).
 
@@ -64,12 +66,13 @@ def _hyperplane_bits(vec_sql_col: str, dim: int, n_planes: int, plane_offset: in
     cross-wires the unresolved lambda variables in pyspark 4.1 — the md5
     input silently binds to another lambda's variable, corrupting every
     bucket (caught by the DuckDB differential oracle).  ``vec_sql_col``
-    is the column NAME of an array<double> column."""
+    is the column NAME of an array<double> column; the dimension is read
+    from the array itself (size()), no driver-side probe action."""
     terms = []
     for p in range(n_planes):
         g = p + plane_offset
         comp = (
-            f"transform(sequence(0, {dim - 1}), d{g} -> "
+            f"transform(sequence(0, size({vec_sql_col}) - 1), d{g} -> "
             f"cast(conv(substring(md5(concat('plane{g}:', cast(d{g} as string))), 1, 8), 16, 10) as double) "
             f"/ cast(4294967296 as double) - cast(0.5 as double))"
         )
@@ -100,11 +103,10 @@ def lsh_cosine_topk(
     neighbor only needs ONE disagreeing plane to land elsewhere;
     P(miss) = (1 − p^n_planes)^n_tables decays with tables.  The
     recall gate vs brute force is tests/test_functions.py."""
-    dim = len(embeddings.select(vec_col).first()[0])
     tables = F.array(*[
         F.struct(
             F.lit(t).alias("t"),
-            _hyperplane_bits("_v", dim, n_planes, plane_offset=t * n_planes).alias("b"),
+            _hyperplane_bits("_v", n_planes, plane_offset=t * n_planes).alias("b"),
         )
         for t in range(n_tables)
     ])
@@ -118,13 +120,115 @@ def lsh_cosine_topk(
         .withColumn("_tb", F.explode(tables))
         .select("neighbor_id", F.col("_v").alias("_bv"), "_tb")
     )
-    cand = (
+    # score BEFORE dedup so the distinct shuffle carries only three
+    # scalar columns instead of two dim-sized vectors per candidate
+    # (the cosine of a duplicate candidate is identical, so deduping on
+    # the scored row is exact)
+    cos = _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
+    scored = (
         q.join(base, "_tb")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "_qv", "_bv")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    cos = _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
-    scored = cand.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _unit(a):
+    return F.transform(a, lambda x: x / _norm(a))
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: spherical k-means over
+    unit vectors partitions the base into ``n_lists`` coarse cells;
+    each query probes its ``n_probe`` nearest centroids and scores
+    exact cosine only within those cells — the second 100 TB scale path
+    next to LSH (candidate count ≈ n·n_probe/n_lists per query).
+
+    Fully deterministic: centroids initialize from the ``n_lists``
+    smallest xxhash64(id) base vectors, and Lloyd iterations are
+    fixed-count mean updates (assignment tie-break by centroid id).
+    The centroid table is tiny and broadcasts; base vectors are scanned
+    once per iteration with a broadcast join — no all-pairs shuffle
+    anywhere."""
+    base = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_bv"),
+    ).persist()
+    unit_base = base.select("neighbor_id", _unit(F.col("_bv")).alias("_uv")).persist()
+
+    # deterministic init: n_lists smallest hash(id)
+    seed_rows = (
+        unit_base.withColumn("_h", F.xxhash64(F.col("neighbor_id").cast("string")))
+        .orderBy("_h", "neighbor_id")
+        .limit(n_lists)
+        .select("_uv")
+        .collect()
+    )
+    spark = embeddings.sparkSession
+    cent = spark.createDataFrame(
+        [(i, row["_uv"]) for i, row in enumerate(seed_rows)], "cid int, cv array<double>"
+    )
+
+    def nearest(df, id_field, vec_field):
+        scored = df.join(F.broadcast(cent), how="cross").select(
+            df["*"],
+            "cid",
+            _dot(F.col(vec_field), F.col("cv")).alias("_sim"),
+        )
+        w = Window.partitionBy(id_field).orderBy(F.col("_sim").desc(), F.col("cid").asc())
+        return scored.withColumn("_r", F.row_number().over(w))
+
+    for _ in range(kmeans_iters):
+        assigned = nearest(unit_base, "neighbor_id", "_uv").filter(F.col("_r") == 1)
+        means = (
+            assigned.select("cid", F.posexplode("_uv").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("_dm"))
+            .select("cid", F.col("_dm.m").alias("raw"))
+            .select("cid", _unit(F.col("raw")).alias("cv"))
+        )
+        # empty cells keep their previous centroid
+        cent_new = cent.select("cid").join(means, "cid", "left").join(
+            cent.select("cid", F.col("cv").alias("_old")), "cid"
+        ).select("cid", F.coalesce("cv", "_old").alias("cv"))
+        cent = spark.createDataFrame(
+            [(r["cid"], r["cv"]) for r in cent_new.collect()], "cid int, cv array<double>"
+        )
+
+    lists = nearest(unit_base, "neighbor_id", "_uv").filter(F.col("_r") == 1).select("neighbor_id", "cid")
+    inv = base.join(lists, "neighbor_id")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    q_unit = q.select("query_id", "_qv", _unit(F.col("_qv")).alias("_uv"))
+    probes = (
+        nearest(q_unit, "query_id", "_uv").filter(F.col("_r") <= n_probe).select("query_id", "_qv", "cid")
+    )
+
+    cos = _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
+    scored = (
+        probes.join(inv, "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    out = cut_lineage(
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
+    base.unpersist()
+    unit_base.unpersist()
+    return out

@@ -3,7 +3,7 @@ import hashlib
 import numpy as np
 import pytest
 
-from graph_mining_spark.functions.ann import cosine_topk, lsh_cosine_topk
+from graph_mining_spark.functions.ann import cosine_topk, ivf_cosine_topk, lsh_cosine_topk
 from graph_mining_spark.functions.dedup import (
     dedup_exact,
     hamming_near_pairs,
@@ -183,6 +183,35 @@ def test_lsh_multi_table_recall_gate(spark):
     hits = sum(len(ap.get(q, set()) & ex[q]) for q in ex)
     total = sum(len(s) for s in ex.values())
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_ivf_recall_gate(spark):
+    # IVF with n_probe=4 of 8 lists on the clustered fixture: recall@3
+    # >= 0.9 vs brute force, and results are deterministic across runs
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(15, 12))
+    vecs = np.stack(
+        [centers[i % 15] + 0.15 * rng.normal(size=12) for i in range(150)]
+    ).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter("vec_id < 20")
+    exact = cosine_topk(df, queries, k=3, round_to=None).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = ivf_cosine_topk(df, queries, k=3, n_lists=8, n_probe=4, kmeans_iters=4)
+    ap = {}
+    for r in approx.collect():
+        ap.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(ap.get(q, set()) & ex[q]) for q in ex)
+    total = sum(len(s) for s in ex.values())
+    assert hits / total >= 0.9, f"recall {hits}/{total}"
+    # determinism
+    again = ivf_cosine_topk(df, queries, k=3, n_lists=8, n_probe=4, kmeans_iters=4)
+    a = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in approx.collect())
+    b = sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in again.collect())
+    assert a == b
 
 
 def test_hamming_pairs_exact_recall(spark):
