@@ -64,12 +64,15 @@ def _load_shard(path: str):
     import pyarrow.parquet as pq
 
     if path.startswith("file:"):
-        # Hadoop renders local URIs as file:/abs/path — strip to a
-        # plain path so pyarrow memory-maps it
-        local = path[5:]
-        while local.startswith("//"):
-            local = local[1:]
-        t = pq.read_table(local, columns=["s", "d"], memory_map=True)
+        # Hadoop renders local URIs as file:/abs/path — parse properly
+        # so a URI with an authority (file://host/path) keeps its
+        # meaning instead of collapsing to /host/path
+        from urllib.parse import urlparse
+
+        parsed = urlparse(path)
+        if parsed.netloc and parsed.netloc != "localhost":
+            raise ValueError(f"non-local file URI authority: {path}")
+        t = pq.read_table(parsed.path, columns=["s", "d"], memory_map=True)
     elif "://" in path:
         import pyarrow.fs as pafs
 
@@ -128,7 +131,9 @@ class CsrShards:
                 fs.delete(hpath, True)
             except Exception:  # session gone — best-effort local cleanup
                 shutil.rmtree(self.shard_dir, ignore_errors=True)
-            self.shard_files.unpersist()
+        # always release the cached descriptor DataFrame, even when the
+        # shard files themselves are kept (_cleanup=False)
+        self.shard_files.unpersist()
 
 
 def materialize_csr_shards(

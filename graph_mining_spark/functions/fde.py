@@ -175,8 +175,11 @@ def fde_encode(
         fde = fde_encode_cloud(pts, cfg)
         return pd.DataFrame({id_col: [pdf[id_col].iloc[0]], "fde": [fde.tolist()]})
 
+    # id field type follows the input (a string doc id is as natural a
+    # cloud key as a long)
+    id_type = clouds.schema[id_col].dataType.simpleString()
     return (
         clouds.select(id_col, vec_col)
         .groupBy(id_col)
-        .applyInPandas(run, schema=f"{id_col} long, fde array<double>")
+        .applyInPandas(run, schema=f"{id_col} {id_type}, fde array<double>")
     )

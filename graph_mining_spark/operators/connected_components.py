@@ -84,9 +84,12 @@ def connected_components(
     while step < max_supersteps:
         step += 1
         # (1) delta neighbor-min: propagate only from last round's frontier
-        if step == start + 1 and resume_from is None:
+        if step == start + 1 and resume_from is None and vertices is None:
             # round 1: labels are the identity, so the edges⋈labels join
-            # collapses to a bare groupBy-min over the edge table
+            # collapses to a bare groupBy-min over the edge table.  Only
+            # valid when the vertex set derives from the edges: with a
+            # caller-supplied subset, a bare min(src) could propagate an
+            # out-of-set endpoint id as a label.
             nbr_min = e.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("nbr_label"))
         else:
             nbr_min = (

@@ -351,8 +351,19 @@ def terahac(
         n_merged = int(obs.get["n_merged"] or 0)
         scored.unpersist()
         if n_merged == 0:
-            # a mutual-best pair may be split across partitions; grow
-            # the cap (terminates: cap >= n ==> one partition = exact)
+            # A mutual-best pair may be split across partitions; grow
+            # the cap so the affinity forests get room to reunite them.
+            # NOTE: affinity with num_iterations=1 yields one partition
+            # per best-neighbor-forest component regardless of cap, so
+            # a large cap does NOT force a single partition; progress
+            # instead relies on each component's maximum-similarity
+            # edge being INTERNAL to its forest (both endpoints pick
+            # each other under the deterministic (weight, id) argmax),
+            # so some partition always contains a good edge.  When the
+            # cap already clears the active count, no further growth
+            # can change the partitioning — stop.  (The reference
+            # re-randomizes its partitioner per round instead,
+            # terahac.cc:83-140.)
             if n_active <= part_cap:
                 break
             part_cap *= 2

@@ -128,3 +128,8 @@ def test_spark_plumbing(spark):
     # deterministic: same input -> same sketch
     out2 = {r["doc_id"]: np.array(r["fde"]) for r in fde_encode(df, cfg).collect()}
     assert all(np.allclose(out[k], out2[k]) for k in out)
+    # string-keyed clouds work too (output id type follows the input)
+    df_s = df.selectExpr("concat('doc:', doc_id) as doc_id", "embedding")
+    out_s = {r["doc_id"]: np.array(r["fde"]) for r in fde_encode(df_s, cfg).collect()}
+    assert set(out_s) == {f"doc:{i}" for i in range(5)}
+    assert all(np.allclose(out_s[f"doc:{k}"], out[k]) for k in out)
