@@ -5,6 +5,14 @@ Prints ONE JSON line:
 plus extra keys (edges, supersteps, edges/sec-per-superstep, cpus) the
 scaling harness consumes.
 
+Methodology: ``SPARK_GRAFT_BENCH_REPEATS`` (default 3) interleaved
+passes over the whole query list, per-query MEDIANS — the same
+interleaved-median scheme scripts/scaling_bench.py uses, because host
+noise between two back-to-back runs of the same query has measured at
+3x.  The CSR shard set is built ONCE (its cost is the separate
+``csr_shard_build`` line) and shared by ``pagerank_csr_1e6`` and
+``cc_csr`` so their lines measure superstep compute, not re-ingestion.
+
 The north-rule throughput metric is edges-processed/sec per superstep:
 every PageRank/CC superstep touches each edge once, so
   throughput = edges * supersteps / wall_seconds
@@ -18,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -27,6 +36,7 @@ from pyspark.storagelevel import StorageLevel
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graph_mining_spark.checkpoint import SuperstepLedger
+from graph_mining_spark.csr import materialize_csr_shards
 from graph_mining_spark.functions.dedup import minhash_signatures
 from graph_mining_spark.operators.affinity import AffinityConfig, affinity_cluster
 from graph_mining_spark.operators.connected_components import (
@@ -42,63 +52,85 @@ from graph_mining_spark.tpch_graph import bipartite_sym, coparts_edges
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(cpus=cpus, shuffle_partitions=max(cpus, 16), app_name="bench")
 
     sym = bipartite_sym(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     m = sym.count()  # materialize before timing
+    co = coparts_edges(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    co.count()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    queries: dict[str, float] = {}
+    # one-time CSR shard build, shared by both CSR queries and reported
+    # as its own line
+    t0 = time.monotonic()
+    shards = materialize_csr_shards(sym.select("src", "dst"), partitions=max(cpus, 16))
+    shard_build = round(time.monotonic() - t0, 3)
+
     supersteps: dict[str, int] = {}
 
-    t0 = time.monotonic()
-    led = SuperstepLedger("pagerank")
-    pagerank(sym, ledger=led).agg(F.sum("rank")).first()
-    queries["pagerank_1e6"] = round(time.monotonic() - t0, 3)
-    supersteps["pagerank_1e6"] = len(led.records)
+    def q_pagerank():
+        led = SuperstepLedger("pagerank")
+        pagerank(sym, ledger=led).agg(F.sum("rank")).first()
+        supersteps["pagerank_1e6"] = len(led.records)
 
-    t0 = time.monotonic()
-    pagerank_csr(sym, partitions=max(cpus, 16)).agg(F.sum("rank")).first()
-    queries["pagerank_csr_1e6"] = round(time.monotonic() - t0, 3)
-    # same convergence contract + input ⇒ same superstep count
-    supersteps["pagerank_csr_1e6"] = supersteps["pagerank_1e6"]
+    def q_pagerank_csr():
+        pagerank_csr(sym, shards=shards).agg(F.sum("rank")).first()
 
-    t0 = time.monotonic()
-    led = SuperstepLedger("cc")
-    connected_components(sym, already_symmetric=True, ledger=led).agg(F.countDistinct("label")).first()
-    queries["cc"] = round(time.monotonic() - t0, 3)
-    supersteps["cc"] = len(led.records)
+    def q_cc():
+        led = SuperstepLedger("cc")
+        connected_components(sym, already_symmetric=True, ledger=led).agg(
+            F.countDistinct("label")
+        ).first()
+        supersteps["cc"] = len(led.records)
 
-    t0 = time.monotonic()
-    connected_components_csr(sym, already_symmetric=True, partitions=max(cpus, 16)).agg(
-        F.countDistinct("label")
-    ).first()
-    queries["cc_csr"] = round(time.monotonic() - t0, 3)
-    supersteps["cc_csr"] = supersteps["cc"]
+    def q_cc_csr():
+        connected_components_csr(sym, already_symmetric=True, shards=shards).agg(
+            F.countDistinct("label")
+        ).first()
 
-    t0 = time.monotonic()
-    affinity_cluster(sym, AffinityConfig(num_iterations=2, edge_aggregation="sum")).agg(
-        F.countDistinct("label")
-    ).first()
-    queries["label_propagation_2r"] = round(time.monotonic() - t0, 3)
+    def q_label_prop():
+        affinity_cluster(sym, AffinityConfig(num_iterations=2, edge_aggregation="sum")).agg(
+            F.countDistinct("label")
+        ).first()
+
+    def q_triangles():
+        triangle_counts(co).agg(F.sum("triangles")).first()
+
+    def q_minhash():
+        minhash_signatures(docs).agg(F.count("*")).first()
+
+    plan = [
+        ("pagerank_1e6", q_pagerank),
+        ("pagerank_csr_1e6", q_pagerank_csr),
+        ("cc", q_cc),
+        ("cc_csr", q_cc_csr),
+        ("label_propagation_2r", q_label_prop),
+        ("triangles_coparts", q_triangles),
+        ("minhash_documents", q_minhash),
+    ]
+    samples: dict[str, list[float]] = {name: [] for name, _ in plan}
+    for _rep in range(repeats):
+        for name, fn in plan:
+            t0 = time.monotonic()
+            fn()
+            samples[name].append(time.monotonic() - t0)
+
+    queries = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
+    queries["csr_shard_build"] = shard_build
+    supersteps["pagerank_csr_1e6"] = supersteps.get("pagerank_1e6", 0)
+    supersteps["cc_csr"] = supersteps.get("cc", 0)
     supersteps["label_propagation_2r"] = 2
 
-    co = coparts_edges(spark, sf_dir)
-    t0 = time.monotonic()
-    triangle_counts(co).agg(F.sum("triangles")).first()
-    queries["triangles_coparts"] = round(time.monotonic() - t0, 3)
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    t0 = time.monotonic()
-    minhash_signatures(docs).agg(F.count("*")).first()
-    queries["minhash_documents"] = round(time.monotonic() - t0, 3)
-
     total = round(sum(queries.values()), 3)
-    # north-rule throughput: CSR PageRank + CSR CC (the fast paths)
+    # north-rule throughput: CSR PageRank + CSR CC (the fast paths),
+    # superstep compute only (shared shard build reported separately)
     iter_steps = supersteps["pagerank_csr_1e6"] + supersteps["cc_csr"]
     iter_wall = queries["pagerank_csr_1e6"] + queries["cc_csr"]
     eps_per_superstep = round(m * iter_steps / iter_wall, 1) if iter_wall > 0 else 0.0
 
+    shards.unpersist()
     print(
         json.dumps(
             {
@@ -111,6 +143,7 @@ def main() -> None:
                 "supersteps": supersteps,
                 "edges_per_sec_per_superstep": eps_per_superstep,
                 "cpus": cpus,
+                "repeats": repeats,
             }
         )
     )

@@ -143,6 +143,7 @@ def connected_components_csr(
     partitions: int = 32,
     salt_threshold: int = 100_000,
     already_symmetric: bool = False,
+    shards=None,
 ) -> DataFrame:
     """CSR fast path: same min-vid fixpoint as
     :func:`connected_components`, but each superstep is ONE distributed
@@ -159,13 +160,15 @@ def connected_components_csr(
     from graph_mining_spark.csr import gather_min, materialize_csr_shards
 
     spark = edges.sparkSession
-    sym = edges if already_symmetric else symmetrize(edges)
-    shards = materialize_csr_shards(
-        sym.select("src", "dst"),
-        vertices=vertices,
-        partitions=partitions,
-        salt_threshold=salt_threshold,
-    )
+    own_shards = shards is None
+    if own_shards:
+        sym = edges if already_symmetric else symmetrize(edges)
+        shards = materialize_csr_shards(
+            sym.select("src", "dst"),
+            vertices=vertices,
+            partitions=partitions,
+            salt_threshold=salt_threshold,
+        )
     n = shards.n
     if n == 0:
         return spark.createDataFrame([], "vid long, label long")
@@ -188,7 +191,8 @@ def connected_components_csr(
         pd.DataFrame({"vid": shards.vids, "label": shards.vids[labels]}),
         schema="vid long, label long",
     )
-    shards.unpersist()
+    if own_shards:
+        shards.unpersist()
     return out
 
 

@@ -180,6 +180,7 @@ def pagerank_csr(
     partitions: int = 32,
     salt_threshold: int = 100_000,
     ledger: SuperstepLedger | None = None,
+    shards=None,
 ) -> DataFrame:
     """CSR-shard PageRank — the fast path (north star: "vectorized
     pandas/Arrow UDFs operating on CSR-packed partition blocks").
@@ -205,9 +206,11 @@ def pagerank_csr(
         raise ValueError("approx_precision must be >= 0")
     spark = edges.sparkSession
 
-    shards = materialize_csr_shards(
-        edges, vertices=vertices, partitions=partitions, salt_threshold=salt_threshold
-    )
+    own_shards = shards is None
+    if own_shards:
+        shards = materialize_csr_shards(
+            edges, vertices=vertices, partitions=partitions, salt_threshold=salt_threshold
+        )
     n, deg = shards.n, shards.out_deg
     if n == 0:
         return spark.createDataFrame([], "vid long, rank double")
@@ -239,7 +242,8 @@ def pagerank_csr(
             break
 
     out = _vec_df(spark, shards.vids, r)
-    shards.unpersist()
+    if own_shards:
+        shards.unpersist()
     return out
 
 
