@@ -11,7 +11,8 @@ from graph_mining_spark.operators.coconductance import (
     coconductance_cluster,
     CoconductanceConfig,
 )
-from graph_mining_spark.operators.hac import parhac, ParHacConfig
+from graph_mining_spark.operators.hac import parhac, ParHacConfig, flatten_dendrogram
+from graph_mining_spark.operators.dynamic_hac import DynamicHac, UpdateStats
 from graph_mining_spark.operators.terahac import terahac, TeraHacConfig
 from graph_mining_spark.operators.quick_cluster import quick_cluster
 from graph_mining_spark.operators.shortest_paths import sssp
@@ -44,6 +45,9 @@ __all__ = [
     "CoconductanceConfig",
     "parhac",
     "ParHacConfig",
+    "flatten_dendrogram",
+    "DynamicHac",
+    "UpdateStats",
     "terahac",
     "TeraHacConfig",
     "quick_cluster",

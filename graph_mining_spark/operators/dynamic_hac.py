@@ -1,0 +1,307 @@
+"""Dynamic HAC — incremental insert/remove with delta-driven re-clustering.
+
+Parity target: /root/reference/in_memory/clustering/dynamic/hac/hac.h
+(DynamicHacClusterer: Insert/Remove/FlatCluster/Dendrogram/UpdateStats),
+dynamic_hac.proto (epsilon + required weight_threshold),
+dynamic_dendrogram.h, dynamic_clustered_graph.h.
+
+The reference maintains a shared-memory incremental structure: updates
+mark DIRTY partitions (color-based) and re-run subgraph HAC only on
+those, keeping everything else cached (hac.cc, dynamic_hac_updater.cc).
+The honest Spark analog — no shared mutable state across executors —
+is DELTA-DRIVEN RE-CLUSTERING at component granularity:
+
+  * state = edge table + per-component cached dendrogram/labels
+    (DataFrames, lineage-cut per update);
+  * an insert/remove batch marks the touched components dirty
+    (endpoints of new edges, removed nodes and their old neighbors,
+    plus any components they connect to);
+  * connected components are recomputed ONLY over the dirty subgraph
+    (old dirty components can merge via new edges or split via
+    removals);
+  * ParHac (same ε / weight_threshold semantics) re-runs on the dirty
+    subgraph only; cached results of clean components are untouched;
+  * UpdateStats reports dirty partitions/nodes/edges like the
+    reference's (hac.h:68-88).
+
+Work per update is proportional to the total size of dirty components
+— the same asymptotic contract as the reference (whose dirty unit is a
+partition rather than a component).  The correctness contract is
+equivalence with from-scratch ParHac on the current graph, asserted at
+ε=0 (exact HAC) after arbitrary update sequences in
+tests/test_dynamic_hac.py.
+
+Internal dendrogram node ids: each update re-keys the new merges into a
+fresh id range above everything allocated before (``_next_internal``),
+so cached rows from clean components never collide; parent > child
+holds within every component's subtree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graph_mining_spark.checkpoint import cut_lineage
+from graph_mining_spark.operators.connected_components import connected_components
+from graph_mining_spark.operators.hac import ParHacConfig, flatten_dendrogram, parhac
+
+
+@dataclass
+class UpdateStats:
+    """hac.h:68-88."""
+
+    dirty_partitions: int = 0
+    dirty_nodes: int = 0
+    dirty_edges: int = 0
+    nodes_ignored: int = 0
+
+
+_EMPTY_EDGES = "src long, dst long, weight double"
+_EMPTY_DENDRO = "comp long, node_id long, parent_id long, merge_similarity double"
+_EMPTY_LABELS = "vid long, label long, comp long"
+
+
+class DynamicHac:
+    """DynamicHacClusterer analog.  ``weight_threshold`` is required
+    (dynamic_hac.proto via hac.h:54-59); ``epsilon`` defaults 0."""
+
+    def __init__(self, spark: SparkSession, weight_threshold: float, epsilon: float = 0.0):
+        if weight_threshold is None:
+            raise ValueError("weight_threshold is required")
+        self.spark = spark
+        self.epsilon = float(epsilon)
+        self.weight_threshold = float(weight_threshold)
+        # canonical undirected edges, src < dst
+        self.edges = spark.createDataFrame([], _EMPTY_EDGES)
+        # (vid, label, comp): flat cluster + component per vertex
+        self.labels = spark.createDataFrame([], _EMPTY_LABELS)
+        # (comp, node_id, parent_id, merge_similarity)
+        self.dendro = spark.createDataFrame([], _EMPTY_DENDRO)
+        self._next_internal = 1 << 40  # above any realistic vid
+
+    # ---------------- public surface ----------------
+
+    def insert(self, new_edges: DataFrame, new_nodes: DataFrame | None = None) -> UpdateStats:
+        """Insert nodes with incident edges (Insert, hac.h:100-110).
+        ``new_edges``: (src, dst, weight); ``new_nodes``: optional
+        (vid,) for isolated insertions."""
+        delta = (
+            new_edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                F.col("weight").cast("double"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
+        touched = (
+            delta.select(F.col("src").alias("vid"))
+            .unionByName(delta.select(F.col("dst").alias("vid")))
+            .distinct()
+        )
+        if new_nodes is not None:
+            touched = touched.unionByName(new_nodes.select("vid")).distinct()
+        new_edge_table = cut_lineage(
+            self.edges.unionByName(delta)
+            .groupBy("src", "dst")
+            .agg(F.max("weight").alias("weight"))
+        )
+        return self._reconcile(new_edge_table, touched, int(delta.count()))
+
+    def remove(self, nodes: DataFrame) -> UpdateStats:
+        """Remove nodes and their incident edges (Remove, hac.h:113-116)."""
+        rm = nodes.select("vid").distinct()
+        rm_s = rm.select(F.col("vid").alias("src"))
+        rm_d = rm.select(F.col("vid").alias("dst"))
+        dropped = self.edges.join(rm_s, "src", "left_semi").unionByName(
+            self.edges.join(rm_d, "dst", "left_semi")
+        )
+        # neighbors of removed nodes are the dirty seeds; the removed
+        # nodes themselves leave the graph
+        touched = (
+            dropped.select(F.col("src").alias("vid"))
+            .unionByName(dropped.select(F.col("dst").alias("vid")))
+            .distinct()
+            .join(rm, "vid", "left_anti")
+        )
+        n_dropped = int(dropped.select("src", "dst").distinct().count())
+        new_edge_table = cut_lineage(
+            self.edges.join(rm_s, "src", "left_anti").join(rm_d, "dst", "left_anti")
+        )
+        # comps of the removed vertices must go dirty even when the
+        # vertex was isolated (no surviving neighbor to mark them)
+        rm_comps = self.labels.join(rm, "vid", "left_semi").select("comp").distinct()
+        self.labels = cut_lineage(self.labels.join(rm, "vid", "left_anti"))
+        return self._reconcile(new_edge_table, touched, n_dropped, extra_dirty=rm_comps)
+
+    def flat_cluster(self, cut_threshold: float | None = None) -> DataFrame:
+        """FlatCluster (hac.h:91-92): flatten the maintained dendrogram
+        at ``cut_threshold`` (default: the state's weight_threshold,
+        i.e. the cached labels)."""
+        if cut_threshold is None:
+            return self.labels.select("vid", "label")
+        flat = flatten_dendrogram(
+            self.dendro.select("node_id", "parent_id", "merge_similarity"), cut_threshold
+        )
+        # singletons with no dendrogram presence
+        missing = self.labels.select("vid").join(
+            flat.select(F.col("vid")), "vid", "left_anti"
+        )
+        return flat.unionByName(missing.select("vid", F.col("vid").alias("label")))
+
+    def dendrogram(self) -> DataFrame:
+        """Dendrogram (hac.h:96): (node_id, parent_id, merge_similarity)."""
+        return self.dendro.select("node_id", "parent_id", "merge_similarity")
+
+    # ---------------- delta reconciliation ----------------
+
+    def _reconcile(
+        self,
+        new_edge_table: DataFrame,
+        touched: DataFrame,
+        delta_edges: int,
+        extra_dirty: DataFrame | None = None,
+    ) -> UpdateStats:
+        """Recompute components + HAC for the dirty region only."""
+        # dirty old components: any component containing a touched vertex
+        dirty_comps = (
+            self.labels.join(touched, "vid", "left_semi").select("comp").distinct()
+        )
+        if extra_dirty is not None:
+            dirty_comps = dirty_comps.unionByName(extra_dirty).distinct()
+        dirty_comps = cut_lineage(dirty_comps)
+        # dirty vertex set = members of dirty comps + brand-new vertices
+        dirty_members = self.labels.join(dirty_comps, "comp", "left_semi").select("vid")
+        new_verts = touched.join(self.labels.select("vid"), "vid", "left_anti")
+        dirty_verts = cut_lineage(dirty_members.unionByName(new_verts).distinct())
+
+        # dirty subgraph: edges with BOTH endpoints dirty (an edge with a
+        # clean endpoint cannot exist: edges never cross components, and
+        # a component touching the delta is dirty by construction)
+        sub = cut_lineage(
+            new_edge_table.join(
+                dirty_verts.withColumnRenamed("vid", "src"), "src", "left_semi"
+            ).join(dirty_verts.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        )
+        n_dirty_nodes = int(dirty_verts.count())
+        n_dirty_comps = int(dirty_comps.count())
+
+        # components over the dirty subgraph
+        sym = sub.unionByName(
+            sub.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+        comp = connected_components(sym, vertices=dirty_verts, already_symmetric=True)
+
+        # HAC on the dirty subgraph
+        if sub.isEmpty():
+            new_dendro = self.spark.createDataFrame([], _EMPTY_DENDRO)
+            new_labels = comp.select(
+                "vid", F.col("vid").alias("label"), F.col("label").alias("comp")
+            )
+        else:
+            dend, labels = parhac(
+                sym,
+                ParHacConfig(
+                    epsilon=self.epsilon, linkage_threshold=self.weight_threshold
+                ),
+                already_symmetric=True,
+            )
+            # re-key internal ids into a fresh global range (above every
+            # id allocated by earlier updates; vids must stay < 2^40)
+            ids = (
+                dend.select("node_id")
+                .unionByName(
+                    dend.select(F.col("parent_id").alias("node_id")).filter(
+                        F.col("parent_id").isNotNull()
+                    )
+                )
+                .distinct()
+            )
+            leaf_ids = comp.select(F.col("vid").alias("node_id"))
+            internal_ids = ids.join(leaf_ids, "node_id", "left_anti")
+            from pyspark.sql import Window
+
+            base = self._next_internal
+            remap = cut_lineage(
+                internal_ids.withColumn(
+                    "new_id",
+                    F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("node_id"))
+                    + F.lit(base)
+                    - 1,
+                )
+            )
+            self._next_internal = base + int(remap.count())
+            d = (
+                dend.join(remap, "node_id", "left")
+                .select(
+                    F.coalesce("new_id", "node_id").alias("node_id"),
+                    "parent_id",
+                    "merge_similarity",
+                )
+                .join(
+                    remap.select(
+                        F.col("node_id").alias("parent_id"), F.col("new_id").alias("_pn")
+                    ),
+                    "parent_id",
+                    "left",
+                )
+                .select(
+                    "node_id",
+                    F.coalesce("_pn", "parent_id").alias("parent_id"),
+                    "merge_similarity",
+                )
+            )
+            # attach components: CC over the (remapped) child→parent
+            # edges labels every dendrogram tree; each tree contains a
+            # leaf, which knows its graph component
+            tree2 = connected_components(
+                d.filter(F.col("parent_id").isNotNull()).select(
+                    F.col("node_id").alias("src"),
+                    F.col("parent_id").alias("dst"),
+                    F.lit(1.0).alias("weight"),
+                )
+            ).select(F.col("vid").alias("node_id"), F.col("label").alias("_tree"))
+            tree_to_comp = (
+                tree2.join(
+                    comp.select(F.col("vid").alias("node_id"), F.col("label").alias("comp")),
+                    "node_id",
+                )
+                .select("_tree", "comp")
+                .distinct()
+            )
+            # leaves take their component directly; internal nodes take
+            # their tree's component (total: every tree has a leaf, and
+            # singleton roots with no merges ARE leaves)
+            leafc = comp.select(F.col("vid").alias("node_id"), F.col("label").alias("_lc"))
+            with_comp = (
+                d.join(tree2, "node_id", "left")
+                .join(tree_to_comp, "_tree", "left")
+                .join(leafc, "node_id", "left")
+                .select(
+                    "node_id", "parent_id", "merge_similarity",
+                    F.coalesce("_lc", "comp").alias("comp"),
+                )
+            )
+            new_dendro = with_comp.select("comp", "node_id", "parent_id", "merge_similarity")
+            new_labels = (
+                comp.select("vid", F.col("label").alias("comp"))
+                .join(labels, "vid", "left")
+                .select("vid", F.coalesce("label", "vid").alias("label"), "comp")
+            )
+
+        # merge: clean state survives, dirty comps replaced
+        clean_labels = self.labels.join(dirty_comps, "comp", "left_anti")
+        clean_dendro = self.dendro.join(dirty_comps, "comp", "left_anti")
+        self.labels = cut_lineage(clean_labels.unionByName(new_labels))
+        self.dendro = cut_lineage(clean_dendro.unionByName(new_dendro))
+        self.edges = new_edge_table
+        return UpdateStats(
+            dirty_partitions=n_dirty_comps,
+            dirty_nodes=n_dirty_nodes,
+            dirty_edges=delta_edges,
+            nodes_ignored=0,
+        )

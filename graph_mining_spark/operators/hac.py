@@ -198,6 +198,29 @@ def parhac(
     return dendrogram, labels
 
 
+def flatten_dendrogram(dendrogram: DataFrame, linkage_similarity: float) -> DataFrame:
+    """FlattenClustering (dendrogram.h:147-153, dendrogram.cc:191-199):
+    delete merges below ``linkage_similarity`` and take connected
+    components of the remaining child→parent merge edges.  Returns
+    (vid, label) over the LEAVES, label = min member leaf."""
+    from graph_mining_spark.operators.connected_components import connected_components
+
+    kept = dendrogram.filter(
+        F.col("parent_id").isNotNull()
+        & (F.col("merge_similarity") >= F.lit(float(linkage_similarity)))
+    ).select(F.col("node_id").alias("src"), F.col("parent_id").alias("dst"), F.lit(1.0).alias("weight"))
+    all_nodes = dendrogram.select(F.col("node_id").alias("vid")).distinct()
+    comp = connected_components(kept, vertices=all_nodes)
+    # leaves = nodes that are nobody's parent
+    parents = dendrogram.select(F.col("parent_id").alias("vid")).filter(
+        F.col("vid").isNotNull()
+    ).distinct()
+    leaves = all_nodes.join(parents, "vid", "left_anti")
+    leaf_comp = comp.join(leaves, "vid", "left_semi")
+    canon = leaf_comp.groupBy("label").agg(F.min("vid").alias("_c"))
+    return leaf_comp.join(canon, "label").select("vid", F.col("_c").alias("label"))
+
+
 def hac_merge_sequence(dendrogram: DataFrame) -> DataFrame:
     """(parent_id, merge_similarity, members…) view of internal merges —
     the comparison form the sequential oracle checks (sorted by

@@ -1,0 +1,120 @@
+"""Dynamic HAC: after any insert/remove sequence the state must equal
+from-scratch ParHac on the current graph (exact HAC at ε=0), updates
+must touch only the dirty components, and the flat-cut surface must
+match the static flatten (hac.h Insert/Remove/FlatCluster contract)."""
+
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_mining_spark.operators.dynamic_hac import DynamicHac
+from graph_mining_spark.operators.hac import ParHacConfig, flatten_dendrogram, parhac
+from tests.conftest import make_edges
+from tests.oracles import canonicalize_clusters, seeded_er_edges
+
+
+def _labels(df):
+    return {r["vid"]: r["label"] for r in df.collect()}
+
+
+def _scratch(spark, triples, thr):
+    if not triples:
+        return {}
+    _, labels = parhac(
+        make_edges(spark, triples), ParHacConfig(epsilon=0.0, linkage_threshold=thr)
+    )
+    return _labels(labels)
+
+
+def test_incremental_equals_scratch(spark):
+    thr = 0.3
+    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0)
+    all_edges = [
+        (u, v, 1.0 + 0.031 * ((u * 3 + v * 7) % 11))
+        for u, v, _ in seeded_er_edges(16, 0.25, seed=6)
+    ]
+    # insert in two batches
+    batch1, batch2 = all_edges[: len(all_edges) // 2], all_edges[len(all_edges) // 2 :]
+    dyn.insert(make_edges(spark, batch1))
+    got1 = _labels(dyn.flat_cluster())
+    want1 = _scratch(spark, batch1, thr)
+    want1 = {v: want1.get(v, v) for v in got1}
+    assert canonicalize_clusters(got1) == canonicalize_clusters(want1)
+
+    dyn.insert(make_edges(spark, batch2))
+    got2 = _labels(dyn.flat_cluster())
+    want2 = _scratch(spark, all_edges, thr)
+    want2 = {v: want2.get(v, v) for v in got2}
+    assert canonicalize_clusters(got2) == canonicalize_clusters(want2)
+
+
+def test_remove_equals_scratch(spark):
+    thr = 0.3
+    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0)
+    all_edges = [
+        (u, v, 1.0 + 0.031 * ((u * 5 + v * 3) % 11))
+        for u, v, _ in seeded_er_edges(14, 0.3, seed=9)
+    ]
+    dyn.insert(make_edges(spark, all_edges))
+    rm = [2, 7]
+    dyn.remove(spark.createDataFrame([(v,) for v in rm], "vid long"))
+    remaining = [(u, v, w) for u, v, w in all_edges if u not in rm and v not in rm]
+    got = _labels(dyn.flat_cluster())
+    assert not (set(rm) & set(got))
+    want = _scratch(spark, remaining, thr)
+    want = {v: want.get(v, v) for v in got}
+    assert canonicalize_clusters(got) == canonicalize_clusters(want)
+
+
+def test_update_stats_are_delta_proportional(spark):
+    # two far-apart components; touching one must not dirty the other
+    comp_a = [(i, i + 1, 1.0) for i in range(0, 9)]       # path 0..9
+    comp_b = [(100 + i, 101 + i, 1.0) for i in range(0, 9)]  # path 100..109
+    dyn = DynamicHac(spark, weight_threshold=0.5, epsilon=0.0)
+    dyn.insert(make_edges(spark, comp_a + comp_b))
+    before = _labels(dyn.flat_cluster())
+    stats = dyn.insert(make_edges(spark, [(0, 9, 1.0)]))  # close the A cycle
+    assert stats.dirty_partitions == 1
+    assert stats.dirty_nodes == 10  # component A only
+    assert stats.dirty_edges == 1
+    # component B labels untouched by an A-only update
+    got = _labels(dyn.flat_cluster())
+    for i in range(100, 110):
+        assert got[i] == before[i]
+
+
+def test_flat_cut_matches_static_flatten(spark):
+    thr = 0.05
+    triples = [
+        (u, v, 0.25 * (1 + (u + 2 * v) % 4))
+        for u, v, _ in seeded_er_edges(12, 0.35, seed=4)
+    ]
+    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0)
+    dyn.insert(make_edges(spark, triples))
+    dend, _ = parhac(
+        make_edges(spark, triples), ParHacConfig(epsilon=0.0, linkage_threshold=thr)
+    )
+    for cut in (0.3, 0.6, 0.9):
+        got = _labels(dyn.flat_cluster(cut))
+        want = _labels(flatten_dendrogram(dend, cut))
+        want = {v: want.get(v, v) for v in got}
+        assert canonicalize_clusters(got) == canonicalize_clusters(want), cut
+
+
+def test_merge_two_components_via_insert(spark):
+    dyn = DynamicHac(spark, weight_threshold=0.1, epsilon=0.0)
+    dyn.insert(make_edges(spark, [(0, 1, 1.0), (5, 6, 1.0)]))
+    assert canonicalize_clusters(_labels(dyn.flat_cluster())) == [(0, 1), (5, 6)]
+    stats = dyn.insert(make_edges(spark, [(1, 5, 2.0)]))
+    assert stats.dirty_partitions == 2  # both old comps went dirty
+    got = canonicalize_clusters(_labels(dyn.flat_cluster()))
+    want = canonicalize_clusters(
+        _scratch(spark, [(0, 1, 1.0), (5, 6, 1.0), (1, 5, 2.0)], 0.1)
+    )
+    assert got == want
+
+
+def test_weight_threshold_required(spark):
+    with pytest.raises(ValueError):
+        DynamicHac(spark, weight_threshold=None)
