@@ -569,6 +569,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dynamic_hac_sequence"] = _dynamic_hac
 
+    # IVF coarse-cell ANN (second scale path next to LSH) — k-means
+    # centroids have no SQL twin; recall/determinism gated in
+    # tests/test_functions.py (rows-only)
+    def _ann_ivf(s, d):
+        from graph_mining_spark.functions.ann import ivf_cosine_topk
+
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        return ivf_cosine_topk(
+            emb, emb.filter(F.col("vec_id") % 50 == 0), k=3, n_lists=8, n_probe=3
+        ).select(
+            "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+
+    q["ann_ivf_top3"] = _ann_ivf
+
     # Canonical registry order: every oracle-gated query first (the
     # driver caps its correctness report at 50 entries, in registration
     # order — round 2 silently trimmed the last two), then the
@@ -597,7 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fde_embeddings_by_label", "coconductance_coparts",
         "quick_cluster_coparts",
         # best-effort beyond the 50-entry cap
-        "dynamic_hac_sequence",
+        "dynamic_hac_sequence", "ann_ivf_top3",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}

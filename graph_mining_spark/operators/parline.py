@@ -27,10 +27,17 @@ Algorithm:
      cluster = floor(prefix / cluster_weight)
      (SliceEmbeddingWeighted, parallel_line.cc:124-149).
 
-The pairwise FM local-search improver (pairwise_improver.cc, fm_base.cc)
-is a documented non-goal of this slice — the reference applies it only
-when local_search_config is set; the initial slicing is the complete
-default path.
+The pairwise FM local-search improver (pairwise_improver.cc:80-132,
+fm_base.cc:303-343, pairing_scheme.cc:45-102) is implemented too:
+``num_improvement_iterations`` > 0 runs rounds of disjoint cluster
+pairs (odd-even or distance scheme; with num_ids == num_clusters the
+reference's random shift is Uniform(0,1) == 0, so the pairing is
+deterministic), each pair refined by a Fiduccia–Mattheyses pass
+(gain heaps, balance slack vs max_cluster_weight =
+(1+imbalance)·W/k, move-history best-prefix rollback).  Pairs are
+disjoint per round, so each round is ONE cogrouped applyInPandas over
+(vertex-membership, pair-internal-edges) — the Spark shape of the
+reference's parallel_for over pairs.
 
 Spark shape: the hierarchy is a driver loop of affinity rounds over a
 geometrically shrinking cluster graph (depth ≈ log₂ n with the pair
@@ -72,6 +79,11 @@ class ParlineConfig:
     # embedder knobs (EmbedderConfig → AffinityConfigWithDefaults)
     embedder_target_cluster_size: float = _DEFAULT_TARGET_CLUSTER_SIZE
     embedder_edge_aggregation: str = "sum"
+    # LocalSearchConfig / PairwiseImproverConfig (parline.proto:64-89):
+    # 0 disables local search (the reference's default)
+    num_improvement_iterations: int = 0
+    pairing_method: str = "odd_even"  # or "distance"
+    pairing_distance: int = 1
 
 
 def affinity_hierarchy_paths(edges: DataFrame) -> DataFrame:
@@ -187,6 +199,259 @@ def _ranked(df: DataFrame, partitions: int, weight_col: str | None):
     return out, keyed
 
 
+# ---------------- pairwise FM local search ----------------
+
+
+def odd_even_pairs(k: int, step: int) -> list[tuple[int, int]]:
+    """OddEvenPairingScheme::Next with num_ids == num_clusters
+    (pairing_scheme.cc:45-66): cluster-id pairs (i+step, i+step+1 mod k)
+    for even i; CycleSize = 2."""
+    pairs = []
+    for i in range(0, k - k % 2, 2):
+        p1 = i + step
+        p2 = (p1 + 1) % k
+        pairs.append((p1, p2))
+    return pairs
+
+
+def distance_pairs(k: int, step: int, distance: int) -> list[tuple[int, int]]:
+    """DistancePairingScheme::Next with num_ids == num_clusters
+    (pairing_scheme.cc:75-102); CycleSize = 2·distance."""
+    distance = min(k // 2, distance)
+    d = distance - step // 2
+    block_offset = 0 if k == 2 else (step % 2) * d
+    pairs = []
+    i = block_offset
+    while i < k + block_offset:
+        block = min(d, (k + block_offset - i) // 2)
+        for j in range(block):
+            p1 = (i + j) % k
+            p2 = (p1 + block) % k
+            pairs.append((p1, p2))
+        i += 2 * d
+    return pairs
+
+
+def fm_improve_pair(nodes1, nodes2, adj, node_w, max_cluster_weight):
+    """FMBase::Improve (fm_base.cc:303-343) on one cluster pair.
+
+    ``nodes1``/``nodes2``: iterables of node ids; ``adj``: {node:
+    [(nbr, w)]} — only pair-internal neighbors matter (gains ignore
+    external edges, AddClusterToHeap fm_base.cc:171-200); ``node_w``:
+    {node: weight}.  Returns (moves_1to2, moves_2to1, improvement).
+
+    Deterministic replica of the reference: gain heaps ordered
+    (gain desc, id asc), ChooseMove prefers RIGHT on gain ties
+    (fm_base.cc:100-103), infeasible-both locks the HEAVIER top
+    (fm_base.cc:271-279), best-prefix rollback takes the LATEST
+    maximum (>=, fm_base.cc:204-217)."""
+    from heapq import heappop, heappush
+
+    s1, s2 = set(nodes1), set(nodes2)
+    gain: dict = {}
+    side: dict = {}
+    for sid, (cluster, other) in enumerate(((s1, s2), (s2, s1))):
+        for u in cluster:
+            g = 0.0
+            for v, w in adj.get(u, ()):
+                if v == u:
+                    continue
+                if v in cluster:
+                    g -= w
+                elif v in other:
+                    g += w
+            gain[u] = g
+            side[u] = sid
+    weight = [sum(node_w[u] for u in s1), sum(node_w[u] for u in s2)]
+    heaps = ([], [])
+    version: dict = {u: 0 for u in gain}
+    in_pq = {u: side[u] for u in gain}  # u -> pq index, absent = out
+
+    def push(u):
+        heappush(heaps[in_pq[u]], (-gain[u], u, version[u]))
+
+    for u in gain:
+        push(u)
+
+    def top(p):
+        h = heaps[p]
+        while h:
+            negg, u, ver = h[0]
+            if in_pq.get(u) == p and version[u] == ver:
+                return u
+            heappop(h)
+        return None
+
+    def adjust(u, g):
+        gain[u] = g
+        version[u] += 1
+        push(u)
+
+    def pop_out(u):
+        in_pq.pop(u, None)
+
+    move_history: list[tuple[int, float]] = []  # (node, gain at move time)
+
+    def make_move(u, frm, to):
+        pop_out(u)
+        w = node_w[u]
+        weight[frm] -= w
+        weight[to] += w
+        move_history.append((u, gain[u]))
+        for v, ew in adj.get(u, ()):
+            if v == u:
+                continue
+            p = in_pq.get(v)
+            if p == frm:
+                adjust(v, gain[v] + 2 * ew)
+            elif p == to:
+                adjust(v, gain[v] - 2 * ew)
+
+    def slack_after(u, frm, to):
+        w = node_w[u]
+        return max_cluster_weight - max(weight[to] + w, weight[frm] - w)
+
+    while True:
+        lu, ru = top(0), top(1)
+        if lu is None or ru is None:
+            break
+        l_ok = slack_after(lu, 0, 1) >= 0.0
+        r_ok = slack_after(ru, 1, 0) >= 0.0
+        if l_ok and r_ok:
+            # ChooseMove: LEFT only on strictly larger gain
+            if gain[lu] > gain[ru]:
+                make_move(lu, 0, 1)
+            else:
+                make_move(ru, 1, 0)
+        elif r_ok:
+            make_move(ru, 1, 0)
+        elif l_ok:
+            make_move(lu, 0, 1)
+        else:
+            # lock the heavier top (ties -> right, matching `>` there)
+            if node_w[lu] > node_w[ru]:
+                pop_out(lu)
+            else:
+                pop_out(ru)
+
+    rem = 0 if top(0) is not None else 1
+    other = 1 - rem
+    while True:
+        u = top(rem)
+        if u is None:
+            break
+        if slack_after(u, rem, other) >= 0.0:
+            make_move(u, rem, other)
+        else:
+            pop_out(u)
+
+    best_cut, best_improvement, cur = -1, 0.0, 0.0
+    for i, (_u, g) in enumerate(move_history):
+        cur += g
+        if cur >= best_improvement:
+            best_cut, best_improvement = i, cur
+    m12, m21 = set(), set()
+    for u, _g in move_history[: best_cut + 1]:
+        (m12 if side[u] == 0 else m21).add(u)
+    return m12, m21, best_improvement
+
+
+def improve_clusters_pairwise(
+    edges: DataFrame,
+    assignment: DataFrame,
+    cfg: ParlineConfig,
+    node_weights: DataFrame | None = None,
+) -> DataFrame:
+    """ImproveClustersPairwise (pairwise_improver.cc:80-132): rounds of
+    disjoint cluster-pair FM refinements.  ``assignment``: (vid,
+    cluster); returns the improved (vid, cluster).  One cogrouped
+    applyInPandas per round — pairs are disjoint, so every pair is an
+    independent group."""
+    k_row = assignment.agg(F.max("cluster")).first()[0]
+    if k_row is None:
+        return assignment
+    k = int(k_row) + 1
+    if k < 2 or cfg.num_improvement_iterations <= 0:
+        return assignment
+
+    use_w = cfg.use_node_weights and node_weights is not None
+    verts = assignment.select("vid", "cluster")
+    if use_w:
+        verts = verts.join(
+            node_weights.select("vid", F.col("node_weight").cast("double")), "vid", "left"
+        ).fillna({"node_weight": 1.0})
+        total_w = verts.agg(F.sum("node_weight")).first()[0]
+    else:
+        verts = verts.withColumn("node_weight", F.lit(1.0))
+        total_w = float(verts.count())
+    max_cluster_weight = (1.0 + cfg.imbalance) * total_w / k
+
+    sym = remove_self_loops(symmetrize(edges))
+    spark = edges.sparkSession
+
+    if cfg.pairing_method == "distance":
+        cycle = 2 * min(k // 2, max(1, cfg.pairing_distance))
+        pair_fn = lambda step: distance_pairs(k, step, cfg.pairing_distance)  # noqa: E731
+    else:
+        cycle = 2
+        pair_fn = lambda step: odd_even_pairs(k, step)  # noqa: E731
+
+    cur = cut_lineage(verts)
+    total_rounds = cfg.num_improvement_iterations * cycle
+    for rnd in range(total_rounds):
+        pairs = pair_fn(rnd % cycle)
+        if not pairs:
+            continue
+        pair_rows = [(int(c), int(i), int(a), int(b)) for i, (a, b) in enumerate(pairs) for c in (a, b)]
+        pair_df = F.broadcast(
+            spark.createDataFrame(pair_rows, "cluster int, pair int, c1 int, c2 int")
+        )
+        v = cur.join(pair_df, "cluster", "left")
+        v_in = v.filter(F.col("pair").isNotNull())
+        e_in = (
+            sym.join(
+                v_in.select(F.col("vid").alias("src"), F.col("pair").alias("_ps")), "src"
+            )
+            .join(
+                v_in.select(F.col("vid").alias("dst"), F.col("pair").alias("_pd")), "dst"
+            )
+            .filter(F.col("_ps") == F.col("_pd"))
+            .select(F.col("_ps").alias("pair"), "src", "dst", "weight")
+        )
+
+        mw = max_cluster_weight
+
+        def run(key, vdf, edf):
+            import pandas as pd
+
+            c1 = int(vdf["c1"].iloc[0])
+            nodes1 = [int(x) for x, c in zip(vdf["vid"], vdf["cluster"]) if int(c) == c1]
+            nodes2 = [int(x) for x, c in zip(vdf["vid"], vdf["cluster"]) if int(c) != c1]
+            node_w = {int(x): float(w) for x, w in zip(vdf["vid"], vdf["node_weight"])}
+            adj: dict = {}
+            for s, d, w in zip(edf["src"], edf["dst"], edf["weight"]):
+                adj.setdefault(int(s), []).append((int(d), float(w)))
+            m12, m21, _imp = fm_improve_pair(nodes1, nodes2, adj, node_w, mw)
+            c2 = int(vdf["c2"].iloc[0])
+            out = [
+                (int(x), c2 if int(x) in m12 else (c1 if int(x) in m21 else int(c)))
+                for x, c in zip(vdf["vid"], vdf["cluster"])
+            ]
+            return pd.DataFrame(out, columns=["vid", "cluster"])
+
+        moved = (
+            v_in.select("vid", "cluster", "node_weight", "pair", "c1", "c2")
+            .groupBy("pair")
+            .cogroup(e_in.groupBy("pair"))
+            .applyInPandas(run, schema="vid long, cluster long")
+        )
+        untouched = v.filter(F.col("pair").isNull()).select("vid", "cluster", "node_weight")
+        cur = cut_lineage(
+            moved.join(cur.select("vid", "node_weight"), "vid").unionByName(untouched)
+        )
+    return cur.select("vid", "cluster")
+
+
 def parline(
     edges: DataFrame,
     config: ParlineConfig | None = None,
@@ -248,4 +513,12 @@ def parline(
         out = ranked.select("vid", "rank", cluster.cast("long").alias("cluster"))
     out = cut_lineage(out)
     keyed.unpersist()
+    if cfg.num_improvement_iterations > 0:
+        improved = improve_clusters_pairwise(
+            edges, out.select("vid", "cluster"), cfg, node_weights=node_weights
+        )
+        out = cut_lineage(
+            out.select("vid", "rank").join(improved, "vid")
+            .select("vid", "rank", "cluster")
+        )
     return out

@@ -170,6 +170,95 @@ def test_weighted_slicing(spark):
         prefix += r["vid"] + 1
 
 
+def _cut_size(triples, assign):
+    und = _sym_max(triples)
+    return sum(w for (a, b), w in und.items() if assign[a] != assign[b])
+
+
+def test_fm_kernel_moves_obvious_misplacement():
+    from graph_mining_spark.operators.parline import fm_improve_pair
+
+    # node 4 sits in cluster 1 but all its edges go to cluster 2
+    nodes1, nodes2 = [0, 1, 4], [2, 3]
+    edges = [(0, 1, 1.0), (2, 3, 1.0), (4, 2, 1.0), (4, 3, 1.0)]
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+    node_w = {i: 1.0 for i in range(5)}
+    m12, m21, imp = fm_improve_pair(nodes1, nodes2, adj, node_w, max_cluster_weight=3.0)
+    assert 4 in m12 and not m21
+    assert imp == 2.0  # the cut drops by both of 4's edges
+
+
+def test_fm_kernel_respects_balance():
+    from graph_mining_spark.operators.parline import fm_improve_pair
+
+    # everything wants to move to cluster 2, but the weight cap forbids it
+    nodes1, nodes2 = [0, 1], [2]
+    edges = [(0, 2, 1.0), (1, 2, 1.0)]
+    adj = defaultdict(list)
+    for u, v, w in edges:
+        adj[u].append((v, w))
+        adj[v].append((u, w))
+    node_w = {i: 1.0 for i in range(3)}
+    m12, m21, _ = fm_improve_pair(nodes1, nodes2, adj, node_w, max_cluster_weight=2.0)
+    assert len(m12) <= 1  # cap 2.0 admits at most one move into {2}
+
+
+def test_pairing_schemes_are_disjoint_and_cover():
+    from graph_mining_spark.operators.parline import distance_pairs, odd_even_pairs
+
+    for k in (2, 4, 5, 8):
+        for step in (0, 1):
+            pairs = odd_even_pairs(k, step)
+            flat = [c for p in pairs for c in p]
+            assert len(flat) == len(set(flat))  # disjoint
+            assert all(0 <= c < k for c in flat)
+    for k, dist in ((4, 2), (8, 3), (6, 1)):
+        for step in range(2 * min(k // 2, dist)):
+            pairs = distance_pairs(k, step, dist)
+            flat = [c for p in pairs for c in p]
+            assert len(flat) == len(set(flat)), (k, dist, step, pairs)
+            assert all(0 <= c < k for c in flat)
+
+
+def test_local_search_improves_cut_and_keeps_balance(spark):
+    triples = [
+        (u, v, 1.0 + 0.125 * ((u + 3 * v) % 5))
+        for u, v, _ in seeded_er_edges(24, 0.25, seed=13)
+    ]
+    base_cfg = ParlineConfig(num_clusters=3)
+    ls_cfg = ParlineConfig(num_clusters=3, num_improvement_iterations=2, imbalance=0.2)
+    base = {r["vid"]: r["cluster"] for r in parline(make_edges(spark, triples), base_cfg).collect()}
+    improved = {r["vid"]: r["cluster"] for r in parline(make_edges(spark, triples), ls_cfg).collect()}
+    assert _cut_size(triples, improved) <= _cut_size(triples, base)
+    # balance: every cluster within (1+imbalance)*n/k
+    from collections import Counter
+
+    n = len(improved)
+    cap = (1 + 0.2) * n / 3
+    assert max(Counter(improved.values()).values()) <= cap
+    # determinism
+    again = {r["vid"]: r["cluster"] for r in parline(make_edges(spark, triples), ls_cfg).collect()}
+    assert again == improved
+
+
+def test_local_search_fixes_boundary_misassignment(spark):
+    # two K6 cliques + strong cross edges from one "traitor" node; the
+    # embedding may slice it with its home clique, the FM pass must
+    # move it (or keep it) to whichever side cuts less — compare against
+    # exhaustive best single-node placement
+    k6a = [(u, v, 1.0) for u in range(6) for v in range(u + 1, 6)]
+    k6b = [(u + 10, v + 10, 1.0) for u in range(6) for v in range(u + 1, 6)]
+    traitor = [(5, 10 + i, 2.0) for i in range(4)]
+    triples = k6a + k6b + traitor + [(0, 10, 0.05)]
+    cfg = ParlineConfig(num_clusters=2, num_improvement_iterations=2, imbalance=0.3)
+    got = {r["vid"]: r["cluster"] for r in parline(make_edges(spark, triples), cfg).collect()}
+    # node 5's weighted pull: 8.0 toward the B side vs 5.0 inside A
+    assert got[5] == got[10], got
+
+
 def test_cluster_weight_constraint(spark):
     triples = [(i, i + 1, 1.0) for i in range(9)]
     rows = parline(
