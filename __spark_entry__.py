@@ -263,6 +263,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return e.unionByName(rev)
 
+    # minla L2 (iterative weighted-mean placement, 3 unrolled
+    # iterations, early stop disabled) — fully SQL-expressible
+    def _minla(s, d):
+        from graph_mining_spark.operators.minla import (
+            MinlaConfig,
+            minimum_linear_arrangement,
+        )
+
+        return minimum_linear_arrangement(
+            nations_edges(s, d),
+            MinlaConfig(cost_metric="l2", max_iterations=3, placement_convergence_delta=-1.0),
+        )
+
+    q["minla_l2_nations"] = _minla
+
     # one deterministic synchronous Louvain round from singletons
     # (correlation objective; swap-guard semantics — see correlation.py)
     q["louvain_round1_bipartite"] = lambda s, d: correlation_cluster(
@@ -546,11 +561,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_orders_per_customer"] = _topk
 
+    # batch side of the streaming surface: the SAME hourly_event_rollup
+    # used by the Structured Streaming path (batch/stream parity is
+    # pytest-gated in tests/test_streaming.py; this row hash-gates the
+    # shared expression tree against DuckDB)
     def _events(s, d):
+        from graph_mining_spark.streaming import hourly_event_rollup
+
         ev = s.read.parquet(f"{d}/events.parquet")
-        return ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).cast("string").alias("hour"), "event_type"
-        ).agg(F.count("*").cast("long").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        return hourly_event_rollup(ev).select(
+            F.col("hour").cast("string").alias("hour"), "event_type",
+            F.col("n").cast("long").alias("n"), F.round("total", 4).alias("total"),
+        )
 
     q["events_hourly"] = _events
 
@@ -598,7 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_iter20_bipartite", "pagerank_ppr_iter2_bipartite",
         "cc_bipartite", "cc_csr_nations", "cc_csr_bipartite",
         "pagerank_csr_iter2_bipartite", "affinity_bipartite", "sssp_nations",
-        "pairwise_all_nations", "symmetrize_modes_asym",
+        "minla_l2_nations", "pairwise_all_nations", "symmetrize_modes_asym",
         "louvain_round1_bipartite", "correlation_bipartite_round1",
         "linkgraph_pipeline", "dedup_exact_documents", "text_stats_documents",
         "token_counts_documents", "lang_id_documents", "fingerprint_documents",
@@ -611,9 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parhac_labels_nations", "louvain_bipartite", "modularity_coparts",
         "affinity_sized_bipartite", "best_neighbor_tiebreak_bipartite",
         "fde_embeddings_by_label", "coconductance_coparts",
-        "quick_cluster_coparts",
         # best-effort beyond the 50-entry cap
-        "dynamic_hac_sequence", "ann_ivf_top3",
+        "quick_cluster_coparts", "dynamic_hac_sequence", "ann_ivf_top3",
     ]
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
@@ -764,6 +785,46 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT 'total' AS metric, a, b, round(CAST(da.d + db.d AS DOUBLE), 6) AS similarity
       FROM common JOIN deg da ON a = da.v JOIN deg db ON b = db.v
+    """
+
+    # -- minla L2: 3 unrolled iterations of the weighted-mean placement
+    # with [0, n-1] rescaling, matching minimum_linear_arrangement's
+    # update ((Σ w·l_v + l_u) / (Σw + Σw/deg)) exactly --
+    _minla_step = """
+      r{i} AS (
+        SELECT e.src AS vid,
+               (sum(e.weight * lv.l) + max(lu.l)) / (sum(e.weight) + sum(e.weight) / max(d.d)) AS l
+        FROM eu e
+        JOIN l{j} lv ON lv.vid = e.dst
+        JOIN l{j} lu ON lu.vid = e.src
+        JOIN deg d ON d.vid = e.src
+        GROUP BY 1
+      ),
+      l{i} AS (
+        SELECT vid,
+               (l - min(l) OVER ()) * ((SELECT n - 1 FROM nn) / (max(l) OVER () - min(l) OVER ())) AS l
+        FROM r{i}
+      )"""
+    _steps = ",".join(_minla_step.format(i=i, j=i - 1) for i in (1, 2, 3))
+    o["minla_l2_nations"] = f"""
+      WITH e0 AS (SELECT src, dst, weight FROM ({NATIONS_E_SQL})),
+      eu AS (
+        SELECT src, dst, max(weight) AS weight FROM (
+          SELECT src, dst, weight FROM e0
+          UNION ALL
+          SELECT dst AS src, src AS dst, weight FROM e0
+        ) GROUP BY 1, 2
+      ),
+      verts AS (SELECT DISTINCT src AS vid FROM eu),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+      l0 AS (
+        SELECT vid, CAST(row_number() OVER (ORDER BY vid) - 1 AS DOUBLE) AS l
+        FROM verts
+      ),
+      deg AS (SELECT src AS vid, CAST(count(*) AS DOUBLE) AS d FROM eu GROUP BY 1),
+      {_steps}
+      SELECT vid, CAST(row_number() OVER (ORDER BY l, vid) - 1 AS BIGINT) AS position
+      FROM l3
     """
 
     o["sssp_nations"] = f"""

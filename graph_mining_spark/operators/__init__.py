@@ -31,6 +31,11 @@ from graph_mining_spark.operators.parline import (
     ParlineConfig,
     affinity_hierarchy_paths,
 )
+from graph_mining_spark.operators.minla import (
+    minimum_linear_arrangement,
+    MinlaConfig,
+    minla_cost,
+)
 
 __all__ = [
     "connected_components",
@@ -61,4 +66,7 @@ __all__ = [
     "parline",
     "ParlineConfig",
     "affinity_hierarchy_paths",
+    "minimum_linear_arrangement",
+    "MinlaConfig",
+    "minla_cost",
 ]
