@@ -199,6 +199,29 @@ def _ranked(df: DataFrame, partitions: int, weight_col: str | None):
     return out, keyed
 
 
+def compute_cut_ratio(edges: DataFrame, assignment: DataFrame) -> float:
+    """ComputeCutRatio (cut_size.cc:61-84): C / W where C = summed
+    weight of edges crossing clusters and W = total edge weight (both
+    orientations, like the reference's reduceEdges).  ``assignment``:
+    (vid, cluster).  Raises on zero total weight."""
+    sym = remove_self_loops(symmetrize(edges))
+    a_s = assignment.select(F.col("vid").alias("src"), F.col("cluster").alias("_cs"))
+    a_d = assignment.select(F.col("vid").alias("dst"), F.col("cluster").alias("_cd"))
+    row = (
+        sym.join(a_s, "src")
+        .join(a_d, "dst")
+        .agg(
+            F.sum(F.when(F.col("_cs") != F.col("_cd"), F.col("weight")).otherwise(0.0)).alias("c"),
+            F.sum("weight").alias("w"),
+        )
+        .first()
+    )
+    total = float(row["w"] or 0.0)
+    if total == 0.0:
+        raise ValueError("Total edge weight in input graph is 0")
+    return float(row["c"] or 0.0) / total
+
+
 # ---------------- pairwise FM local search ----------------
 
 

@@ -259,6 +259,22 @@ def test_local_search_fixes_boundary_misassignment(spark):
     assert got[5] == got[10], got
 
 
+def test_compute_cut_ratio(spark):
+    from graph_mining_spark.operators.parline import compute_cut_ratio
+
+    triples = [(0, 1, 2.0), (1, 2, 1.0), (2, 3, 3.0)]
+    assign = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "vid long, cluster long"
+    )
+    # cut edges: (1,2) weight 1.0; total weight 6.0 (per orientation)
+    got = compute_cut_ratio(make_edges(spark, triples), assign)
+    assert abs(got - 1.0 / 6.0) < 1e-12
+    with pytest.raises(ValueError):
+        compute_cut_ratio(
+            make_edges(spark, [(0, 0, 1.0)]), assign
+        )  # self-loop only -> zero total weight
+
+
 def test_cluster_weight_constraint(spark):
     triples = [(i, i + 1, 1.0) for i in range(9)]
     rows = parline(
