@@ -332,6 +332,7 @@ def affinity_cluster(
     node_weights: DataFrame | None = None,
     ledger: SuperstepLedger | None = None,
     return_levels: bool = False,
+    already_symmetric: bool = False,
 ) -> DataFrame | list[DataFrame]:
     """Run affinity clustering; returns ``(vid, label)`` with label =
     min original vid in the community (or the per-round list when
@@ -339,9 +340,12 @@ def affinity_cluster(
 
     ``edges`` may be directed; it is symmetrized with MAX dedup first
     (reference converts to undirected the same way before clustering).
+    Pass ``already_symmetric`` when the input carries both orientations
+    to skip that shuffle (callers in per-level/per-round loops —
+    parline, terahac — feed symmetric contractions).
     """
     cfg = config or AffinityConfig()
-    sym = symmetrize(edges)
+    sym = edges if already_symmetric else symmetrize(edges)
     verts = vertex_ids(sym) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
     labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
     nw = (

@@ -119,7 +119,8 @@ def _hierarchy_paths(edges: DataFrame, cfg: ParlineConfig) -> DataFrame:
             .withColumn("_live", F.lit(True))
         )
         labels = affinity_cluster(
-            cur_e, one_round, vertices=clusters.select(F.col("cid").alias("vid"))
+            cur_e, one_round, vertices=clusters.select(F.col("cid").alias("vid")),
+            already_symmetric=True,
         ).select(F.col("vid").alias("cid"), F.col("label").alias("_nc"))
         labels = cut_lineage(labels)
 

@@ -310,6 +310,9 @@ def terahac(
                 size_constraint=SizeConstraint(max_cluster_size=part_cap),
             ),
             vertices=active.select(F.col("cid").alias("vid")),
+            # act_edges derives from the symmetric contracted table —
+            # both orientations are present already
+            already_symmetric=True,
         )
         parts = cut_lineage(parts.select(F.col("vid").alias("cid"), F.col("label").alias("part")))
 
