@@ -70,47 +70,17 @@ class TeraHacConfig:
     output_dendrogram: bool = False
 
 
-def _subgraph_hac_kernel(pdf, epsilon: float):
-    """Sequential ApproximateSubgraphHac over one partition's rows.
+def _heap_core(adj: dict, size: dict, mm: dict, active: dict, epsilon: float):
+    """Sequential good-edge heap HAC over dict state (shared by the
+    pure-python kernel and the batched kernel's low-candidate tail).
 
-    pdf columns: u, v, w (raw summed weight), su, sv (cluster sizes),
-    mu, mv (min-merge similarities), act_v (v active in this
-    partition).  All u rows are active members of the partition.
-    Returns rows (vid=child cluster id, label=new cluster id, sim,
-    new_mm, new_size) — one row per MERGED child, mapping it onto the
-    surviving min-id cluster, plus one row per survivor with its
-    updated mm/size.
-
-    Candidate selection is incremental (the Spark-side analog of the
-    reference's bucketed priority queue, approximate_subgraph_hac.cc:
-    56-170): per-node best similarities are maintained under merges,
-    and good edges live in a heap with versioned lazy invalidation.  A
-    merge only recomputes goodness for edges incident to the surviving
-    cluster and to neighbors whose best changed, so total kernel work
-    is O(Σ per-merge degree) instead of the previous O(E·M) full
-    rescans.  The popped candidate is still the exact global minimum
-    of (goodness, a, b), so results are bit-identical to the naive
-    scan.
-    """
-    import pandas as pd
+    Mutates ``adj``/``size``/``mm``/``active`` in place and returns the
+    merge list ``[(gone, keep, sim), ...]`` in merge order.  The popped
+    candidate is always the exact global minimum of ``(goodness, a,
+    b)`` over currently-good both-active edges, with per-edge versioned
+    lazy invalidation (the Spark-side analog of the reference's
+    bucketed priority queue, approximate_subgraph_hac.cc:56-170)."""
     from heapq import heappop, heappush
-
-    adj: dict = {}  # node -> {neighbor: raw summed weight}
-    size: dict = {}
-    mm: dict = {}
-    active: dict = {}
-    for u, v, w, su, sv, mu, mv, act_v in zip(
-        pdf["u"], pdf["v"], pdf["w"], pdf["su"], pdf["sv"], pdf["mu"], pdf["mv"], pdf["act_v"]
-    ):
-        u, v = int(u), int(v)
-        adj.setdefault(u, {})[v] = float(w)  # symmetric dups overwrite equal
-        adj.setdefault(v, {})[u] = float(w)
-        size[u], size[v] = float(su), float(sv)
-        mm[u], mm[v] = float(mu), float(mv)
-        # u rows are partition members (active); v is active only when
-        # it belongs to this partition too (it then also appears as u)
-        active[u] = True
-        active.setdefault(v, bool(act_v))
 
     def sim(a, b):
         return adj[a][b] / (size[a] * size[b])
@@ -150,7 +120,6 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
             if a < b:
                 refresh_edge(a, b)
 
-    merged_into: dict = {}
     out_rows = []
     while heap:
         g, a, b, ver, w_ab = heappop(heap)
@@ -178,7 +147,6 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
         mm[keep] = new_mm
         active[gone] = False
         best.pop(gone, None)
-        merged_into[gone] = keep
         out_rows.append((gone, keep, w_ab))
 
         # maintain per-node bests: keep always rescans (every incident
@@ -221,6 +189,55 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
         if keep not in best_changed:
             for y in adj.get(keep, ()):
                 refresh_edge(keep, y)
+    return out_rows
+
+
+def _subgraph_hac_kernel_py(pdf, epsilon: float):
+    """Pure-python reference kernel (dict adjacency + per-edge version
+    heap).  Kept as the differential oracle for the vectorized kernel
+    below — `test_terahac.py::test_kernel_differential` asserts the two
+    produce identical output on random graphs.  Not used in production.
+
+    pdf columns: u, v, w (raw summed weight), su, sv (cluster sizes),
+    mu, mv (min-merge similarities), act_v (v active in this
+    partition).  All u rows are active members of the partition.
+    Returns rows (vid=child cluster id, label=new cluster id, sim,
+    new_mm, new_size) — one row per MERGED child, mapping it onto the
+    surviving min-id cluster, plus one row per survivor with its
+    updated mm/size.
+
+    Candidate selection is incremental (the Spark-side analog of the
+    reference's bucketed priority queue, approximate_subgraph_hac.cc:
+    56-170): per-node best similarities are maintained under merges,
+    and good edges live in a heap with versioned lazy invalidation.  A
+    merge only recomputes goodness for edges incident to the surviving
+    cluster and to neighbors whose best changed, so total kernel work
+    is O(Σ per-merge degree) instead of the previous O(E·M) full
+    rescans.  The popped candidate is still the exact global minimum
+    of (goodness, a, b), so results are bit-identical to the naive
+    scan.
+    """
+    import pandas as pd
+
+    adj: dict = {}  # node -> {neighbor: raw summed weight}
+    size: dict = {}
+    mm: dict = {}
+    active: dict = {}
+    for u, v, w, su, sv, mu, mv, act_v in zip(
+        pdf["u"], pdf["v"], pdf["w"], pdf["su"], pdf["sv"], pdf["mu"], pdf["mv"], pdf["act_v"]
+    ):
+        u, v = int(u), int(v)
+        adj.setdefault(u, {})[v] = float(w)  # symmetric dups overwrite equal
+        adj.setdefault(v, {})[u] = float(w)
+        size[u], size[v] = float(su), float(sv)
+        mm[u], mm[v] = float(mu), float(mv)
+        # u rows are partition members (active); v is active only when
+        # it belongs to this partition too (it then also appears as u)
+        active[u] = True
+        active.setdefault(v, bool(act_v))
+
+    out_rows = _heap_core(adj, size, mm, active, epsilon)
+    merged_into = {gone: keep for gone, keep, _ in out_rows}
 
     # path-compress merge targets
     def root(x):
@@ -244,6 +261,181 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
         rows,
         columns=["part", "vid", "label", "sim", "new_mm", "new_size", "into", "seq"],
     ).astype({"part": "int64", "vid": "int64", "label": "int64"})
+
+
+def _subgraph_hac_kernel(pdf, epsilon: float):
+    """Batched NumPy ApproximateSubgraphHac over one partition's rows.
+
+    Same contract as :func:`_subgraph_hac_kernel_py`, but instead of
+    popping one globally-minimal good edge at a time, each batch round
+    vectorizes over the WHOLE remaining subgraph:
+
+      1. similarities, per-node bests (``np.maximum.at`` segment max
+         over all incident edges, frozen neighbors included) and per-
+         edge goodness are computed as flat array ops;
+      2. every node picks its minimum-``(goodness, a, b)`` good edge;
+         the round merges the MUTUAL-minimum matching (an edge both of
+         whose endpoints picked it) — deterministic, node-disjoint;
+      3. merged pairs contract in one ``np.unique``/``np.bincount``
+         pass and the next round recomputes from the contracted state.
+
+    Validity: average linkage is REDUCIBLE — merging clusters x, y
+    gives sim(u, x∪y) = (w_ux + w_uy) / (s_u · (s_x + s_y)), a weighted
+    average ≤ max(sim(u,x), sim(u,y)) — so a disjoint merge can only
+    LOWER other nodes' best similarities, while w, mm of an untouched
+    pair are unchanged: a good edge stays good after any disjoint
+    merge.  Every edge in the matching is therefore still good at its
+    sequential-equivalent merge time, which is exactly the reference's
+    contract (approximate_subgraph_hac.cc picks ANY good edge from a
+    bucketed queue, not the global minimum).  At ε = 0 good edges are
+    mutual-best edges with sim ≤ mm, whose merge order is immaterial
+    (nearest-neighbor-chain argument), so the result still equals
+    exact sequential HAC — the parity gates stay green.
+
+    When fewer than ``_TAIL_GOOD_EDGES`` good directed edges remain,
+    the kernel hands the contracted remainder to :func:`_heap_core`
+    (the sequential good-edge heap) — batch rounds would pay an O(E)
+    pass per handful of merges there, and the tiny test fixtures get
+    the exact old sequential behavior.
+
+    Replay gate: test_terahac.py::test_kernel_differential re-applies
+    the emitted merge sequence one edge at a time and asserts each
+    merge was (1+ε)-good at its merge time, plus exact ε=0 parity with
+    the python kernel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    u = pdf["u"].to_numpy(np.int64)
+    v = pdf["v"].to_numpy(np.int64)
+    w = pdf["w"].to_numpy(np.float64)
+    uniq = np.unique(np.concatenate([u, v]))
+    n = int(uniq.size)
+    du = np.searchsorted(uniq, u)
+    dv = np.searchsorted(uniq, v)
+
+    size = np.zeros(n)
+    mm = np.zeros(n)
+    act = np.zeros(n, dtype=bool)
+    size[du] = pdf["su"].to_numpy(np.float64)
+    size[dv] = pdf["sv"].to_numpy(np.float64)
+    mm[du] = pdf["mu"].to_numpy(np.float64)
+    mm[dv] = pdf["mv"].to_numpy(np.float64)
+    act[dv[pdf["act_v"].to_numpy(bool)]] = True
+    act[du] = True
+
+    # symmetric deduped directed edge list (symmetric duplicates carry
+    # equal weights — keep the first occurrence), sorted by (a, b)
+    ea = np.concatenate([du, dv])
+    eb = np.concatenate([dv, du])
+    ew = np.concatenate([w, w])
+    _, first = np.unique(ea * n + eb, return_index=True)
+    ea, eb, ew = ea[first], eb[first], ew[first]
+
+    bound = 1.0 + epsilon + 1e-12
+    dest = np.arange(n)
+    merges: list = []  # (gone, keep, sim) in sequential-equivalent order
+    old_err = np.seterr(divide="ignore", invalid="ignore")
+
+    while ea.size:
+        sims = ew / (size[ea] * size[eb])
+        best = np.full(n, -np.inf)
+        np.maximum.at(best, ea, sims)
+        denom = np.minimum(sims, np.minimum(mm[ea], mm[eb]))
+        g = np.maximum(best[ea], best[eb]) / denom
+        good = act[ea] & act[eb] & (denom > 0) & (g <= bound)
+        n_good = int(np.count_nonzero(good))
+        if n_good == 0:
+            break
+        if n_good < _TAIL_GOOD_EDGES:
+            merges.extend(_np_state_to_heap_tail(ea, eb, ew, size, mm, act, epsilon))
+            break
+        idx = np.flatnonzero(good)
+        ca_ = np.minimum(ea[idx], eb[idx])
+        cb_ = np.maximum(ea[idx], eb[idx])
+        gg, ss = g[idx], sims[idx]
+        node = ea[idx]
+        order = np.lexsort((cb_, ca_, gg, node))
+        nsort = node[order]
+        firsts = np.ones(order.size, dtype=bool)
+        firsts[1:] = nsort[1:] != nsort[:-1]
+        cpos = order[firsts]  # per-node argmin of (g, a, b)
+        cx = nsort[firsts]
+        ca, cb, cs = ca_[cpos], cb_[cpos], ss[cpos]
+        CA = np.full(n, -1, dtype=np.int64)
+        CB = np.full(n, -1, dtype=np.int64)
+        CA[cx] = ca
+        CB[cx] = cb
+        sel = (
+            (CA[ca] == ca) & (CB[ca] == cb) & (CA[cb] == ca) & (CB[cb] == cb)
+            & (cx == ca)  # keep the a-side occurrence only
+        )
+        sel_a, sel_b, sel_s = ca[sel], cb[sel], cs[sel]
+        # apply the matching (node-disjoint, so single-hop relabel)
+        size[sel_a] += size[sel_b]
+        mm[sel_a] = np.minimum(np.minimum(mm[sel_a], mm[sel_b]), sel_s)
+        act[sel_b] = False
+        dest[sel_b] = sel_a
+        merges.extend(zip(sel_b.tolist(), sel_a.tolist(), sel_s.tolist()))
+        ea = dest[ea]
+        eb = dest[eb]
+        live = ea != eb
+        key = ea[live] * n + eb[live]
+        ukey, inv = np.unique(key, return_inverse=True)
+        ew = np.bincount(inv, weights=ew[live])
+        ea = ukey // n
+        eb = ukey % n
+    np.seterr(**old_err)
+
+    # path-compress merge targets
+    merged_into = {gone: keep for gone, keep, _ in merges}
+
+    def root(x):
+        while x in merged_into:
+            x = merged_into[x]
+        return x
+
+    part = int(pdf["part"].iloc[0])
+    rows = []
+    for seq, (child, into, s) in enumerate(merges):
+        r = root(child)
+        rows.append(
+            (part, int(uniq[child]), int(uniq[r]), float(s),
+             float(mm[r]), float(size[r]), int(uniq[into]), seq)
+        )
+    for x in range(n):
+        if act[x] and x not in merged_into:
+            rows.append(
+                (part, int(uniq[x]), int(uniq[x]), None, float(mm[x]), float(size[x]), None, None)
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["part", "vid", "label", "sim", "new_mm", "new_size", "into", "seq"],
+    ).astype({"part": "int64", "vid": "int64", "label": "int64"})
+
+
+# below this many good directed edges a batch round pays a full O(E)
+# pass per handful of merges — hand the remainder to the heap kernel
+_TAIL_GOOD_EDGES = 1024
+
+
+def _np_state_to_heap_tail(ea, eb, ew, size, mm, act, epsilon):
+    """Finish a batched kernel run with :func:`_heap_core`: convert the
+    contracted array state to dict state, run the sequential heap to
+    completion, and write final size/mm/activity back into the arrays."""
+    adj: dict = {}
+    for a, b, wt in zip(ea.tolist(), eb.tolist(), ew.tolist()):
+        adj.setdefault(a, {})[b] = wt
+    nodes = set(adj)
+    size_d = {x: float(size[x]) for x in nodes}
+    mm_d = {x: float(mm[x]) for x in nodes}
+    act_d = {x: bool(act[x]) for x in nodes}
+    out = _heap_core(adj, size_d, mm_d, act_d, epsilon)
+    for x in nodes:
+        size[x] = size_d[x]
+        mm[x] = mm_d[x]
+        act[x] = act_d[x]
+    return out
 
 
 def terahac(

@@ -86,13 +86,14 @@ def test_merge_log_structure(spark):
 
 
 def test_kernel_near_linear_in_edges():
-    """Scale evidence for the incremental kernel: wall time from E to
-    8E edges must grow far below quadratic (the old full-rescan kernel
-    was O(E·M) — ratio ≈ 64 here; the heap kernel measures ≈ 20×,
-    the overshoot past linear being the intrinsic degree growth of
-    clusters under full contraction at ε=1).  Pure-python kernel, no
-    Spark session.  Measured 2026-08: 7.5k edges 0.66s / 60k 13.2s /
-    240k 91s (11.4k → 2.6k edges/s as contraction deepens)."""
+    """Scale evidence for the batched kernel: wall time from E to 8E
+    edges must grow near-linearly (the round-1 full-rescan kernel was
+    O(E·M) — ratio ≈ 64 here; the round-3 heap kernel measured ≈ 20×;
+    the batched matching kernel measures ≈ 4-6×), AND absolute
+    throughput must clear 30k edges/s (measured 2026-08 on this host:
+    7.5k edges 0.09s / 60k 0.38s / 240k 2.0s / 960k 10.8s —
+    ~90-160k edges/s; the 30k floor leaves noise headroom).  No Spark
+    session — pure kernel."""
     import random
     import time
 
@@ -131,9 +132,141 @@ def test_kernel_near_linear_in_edges():
     t8, e8, m8 = timed(20000)
     assert m1 > 500 and m8 > 4000, (m1, m8)  # merges actually happened
     ratio = t8 / max(t1, 1e-9)
-    # quadratic would be ≈ (e8/e1)² ≈ 64; measured ≈ 20 — assert well
+    # quadratic would be ≈ (e8/e1)² ≈ 64; measured ≈ 4-6 — assert well
     # under quadratic with headroom for host noise
-    assert ratio < 40, f"kernel time ratio {ratio:.1f} at {e1}→{e8} edges ({t1:.2f}s→{t8:.2f}s)"
+    assert ratio < 24, f"kernel time ratio {ratio:.1f} at {e1}→{e8} edges ({t1:.2f}s→{t8:.2f}s)"
+    tput = e8 / max(t8, 1e-9)
+    assert tput > 30_000, f"kernel throughput {tput:.0f} edges/s at {e8} edges (target > 30k)"
+
+
+def _kernel_fixture(n, seed, deg=3, frozen_frac=0.0):
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(seed)
+    rows = []
+    for u in range(n):
+        for v in (rng.randrange(n) for _ in range(deg)):
+            if u == v:
+                continue
+            w = 0.5 + rng.random()
+            rows.append((u, v, w))
+            rows.append((v, u, w))
+    df = pd.DataFrame(rows, columns=["u", "v", "w"]).drop_duplicates(["u", "v"])
+    df["su"] = 1.0
+    df["sv"] = 1.0
+    df["mu"] = float("inf")
+    df["mv"] = float("inf")
+    if frozen_frac:
+        frozen = {x for x in range(n) if rng.random() < frozen_frac}
+        df = df[~df["u"].isin(frozen)]
+        df["act_v"] = ~df["v"].isin(frozen)
+    else:
+        df["act_v"] = True
+    df["part"] = 0
+    return df.reset_index(drop=True)
+
+
+def test_kernel_differential():
+    """Three gates on the batched kernel vs the sequential-heap one:
+
+    1. ε=0 PARITY: at ε=0 the merge SET (cluster-representative pairs
+       + similarities) is order-invariant, so every column except the
+       merge sequence number must match the python kernel exactly.
+    2. REPLAY VALIDITY at ε>0: re-apply the batched kernel's emitted
+       merge sequence one edge at a time and assert every merge was
+       (1+ε)-good at its merge time (reducibility makes every edge of
+       a disjoint matching stay good — this checks that claim end to
+       end, frozen boundary nodes included).
+    3. DETERMINISM: permuting the input rows yields identical output.
+    """
+    import pandas as pd
+
+    from graph_mining_spark.operators.terahac import (
+        _subgraph_hac_kernel,
+        _subgraph_hac_kernel_py,
+    )
+
+    import importlib
+
+    # (attribute access via the package resolves to the re-exported
+    # terahac FUNCTION — importlib gets the module itself)
+    tera_mod = importlib.import_module("graph_mining_spark.operators.terahac")
+
+    def canon(out):
+        return out.drop(columns=["seq"]).sort_values(["vid", "into"]).reset_index(drop=True)
+
+    default_tail = tera_mod._TAIL_GOOD_EDGES
+    try:
+        # tail=default: small fixtures run entirely through the heap
+        # tail; tail=0: the pure batched-matching path (no heap) — both
+        # must match the python kernel at ε=0
+        for tail in (default_tail, 0):
+            tera_mod._TAIL_GOOD_EDGES = tail
+            for seed in range(4):
+                for ff in (0.0, 0.25):
+                    df = _kernel_fixture(60 + seed * 37, seed, frozen_frac=ff)
+                    a = canon(_subgraph_hac_kernel_py(df.copy(), epsilon=0.0))
+                    b = canon(_subgraph_hac_kernel(df.copy(), epsilon=0.0))
+                    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    finally:
+        tera_mod._TAIL_GOOD_EDGES = default_tail
+
+    def replay_check(df, eps, out):
+        adj, size, mm, active = {}, {}, {}, {}
+        for u, v, w, su, sv, mu, mv, av in zip(
+            df.u, df.v, df.w, df.su, df.sv, df.mu, df.mv, df.act_v
+        ):
+            u, v = int(u), int(v)
+            adj.setdefault(u, {})[v] = float(w)
+            adj.setdefault(v, {})[u] = float(w)
+            size[u], size[v] = float(su), float(sv)
+            mm[u], mm[v] = float(mu), float(mv)
+            active[u] = True
+            active.setdefault(v, bool(av))
+        bound = 1 + eps + 1e-9
+        m = out[out.vid != out.label].sort_values("seq")
+        for _, r in m.iterrows():
+            gone, keep = int(r["vid"]), int(r["into"])
+            assert active.get(gone) and active.get(keep), (gone, keep)
+            s = adj[keep][gone] / (size[keep] * size[gone])
+            best_k = max(adj[keep][y] / (size[keep] * size[y]) for y in adj[keep])
+            best_g = max(adj[gone][y] / (size[gone] * size[y]) for y in adj[gone])
+            g = max(best_k, best_g) / min(s, mm[keep], mm[gone])
+            assert g <= bound * (1 + 1e-12), (gone, keep, g, bound)
+            nm = min(mm[keep], mm[gone], s)
+            for x, wg in adj[gone].items():
+                if x == keep:
+                    continue
+                nw = adj[keep].get(x, 0.0) + wg
+                adj[keep][x] = nw
+                adj[x][keep] = nw
+                del adj[x][gone]
+            del adj[keep][gone]
+            del adj[gone]
+            size[keep] += size[gone]
+            mm[keep] = nm
+            active[gone] = False
+
+    try:
+        for tail in (default_tail, 0):
+            tera_mod._TAIL_GOOD_EDGES = tail
+            for seed in range(3):
+                for eps, ff in [(0.3, 0.0), (1.0, 0.0), (0.5, 0.3)]:
+                    df = _kernel_fixture(150 + seed * 31, seed, frozen_frac=ff)
+                    out = _subgraph_hac_kernel(df.copy(), epsilon=eps)
+                    replay_check(df, eps, out)
+                    out2 = _subgraph_hac_kernel(
+                        df.sample(frac=1.0, random_state=7).reset_index(drop=True), epsilon=eps
+                    )
+                    pd.testing.assert_frame_equal(
+                        out.sort_values(["vid", "seq"]).reset_index(drop=True),
+                        out2.sort_values(["vid", "seq"]).reset_index(drop=True),
+                        check_dtype=False,
+                    )
+    finally:
+        tera_mod._TAIL_GOOD_EDGES = default_tail
 
 
 def _leaf_sets(dendro_rows, n):
