@@ -14,10 +14,12 @@ one edges⋈locations join + groupBy weighted mean (pure JVM).  The L1
 update needs a per-node interpolated weighted median — neighbor
 (location, weight) lists are collected per node and the median kernel
 runs as an Arrow-batched pandas UDF over np.argsort'ed arrays (per-node
-work O(deg·log deg), no per-row Python round trips).  Rescale and the
-cost are single aggregates; the final arrangement is the deterministic
-(location, vid) order ranked with the same two-phase range-partition
-scheme the rest of the engine uses.
+work O(deg·log deg), no per-row Python round trips).  Nodes above
+``hub_degree_threshold`` bypass the median kernel for a join-only
+weighted-mean placement (no degree-sized collected rows, no straggler
+task).  Rescale and the cost are single aggregates; BOTH the initial
+identity placement and the final arrangement use the two-phase
+range-partition ranking (no single-partition global sort anywhere).
 """
 
 from __future__ import annotations
@@ -35,11 +37,48 @@ _DEFAULT_MAX_ITERATIONS = 20  # kDefaultMaxIterations, minla.cc:37
 
 @dataclass
 class MinlaConfig:
-    """MinimumLinearArrangementConfig (minla.proto:19-54)."""
+    """MinimumLinearArrangementConfig (minla.proto:19-54).
+
+    ``hub_degree_threshold`` is a scale guard with no reference
+    counterpart (the shared-memory reference holds any adjacency in
+    RAM): nodes with more than this many neighbors skip the exact
+    interpolated-median kernel — whose per-node neighbor list would
+    otherwise land in one Arrow row / one straggler task — and place at
+    the weighted MEAN of their neighbors instead (same self-segment
+    folding).  The default keeps every realistic non-hub exact while
+    bounding the largest collected row to ~1 MB."""
 
     cost_metric: str = "l1"  # or "l2"
     max_iterations: int = _DEFAULT_MAX_ITERATIONS
     placement_convergence_delta: float = 0.0
+    hub_degree_threshold: int = 65536
+
+
+def _two_phase_rank(df: DataFrame, order_cols: list, partitions: int) -> DataFrame:
+    """0-based global rank of ``df`` by ``order_cols`` without a
+    single-partition sort: range-partition by the key, rank inside each
+    partition, add broadcast per-partition count offsets.  Returns the
+    input columns plus ``_rank``."""
+    cols = list(df.columns)
+    keyed = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = keyed.groupBy("_pid").count().collect()
+    offs, acc = [], 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offs.append((int(row["_pid"]), int(acc)))
+        acc += row["count"]
+    off_df = df.sparkSession.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = cut_lineage(
+        keyed.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "_pid")
+        .select(*cols, (F.col("_rn") + F.col("_off")).alias("_rank"))
+    )
+    keyed.unpersist()
+    return out
 
 
 def weighted_median_interpolated(values, weights):
@@ -108,11 +147,15 @@ def minimum_linear_arrangement(
     verts = sym.select(F.col("src").alias("vid")).distinct()
 
     if initial_order is not None:
-        loc = initial_order.select("vid", F.col("position").cast("double").alias("location"))
+        loc = cut_lineage(
+            initial_order.select("vid", F.col("position").cast("double").alias("location"))
+        )
     else:
-        w = Window.partitionBy(F.lit(1)).orderBy("vid")
-        loc = verts.withColumn("location", (F.row_number().over(w) - 1).cast("double"))
-    loc = cut_lineage(loc)
+        # dense rank by vid via the same two-phase range-partition
+        # ranking as the final ordering — no single-partition window
+        loc = _two_phase_rank(verts, ["vid"], partitions).select(
+            "vid", F.col("_rank").cast("double").alias("location")
+        )
     n = loc.count()
     if n <= 1:
         sym.unpersist()
@@ -151,9 +194,38 @@ def minimum_linear_arrangement(
                 )
             )
         else:
-            lists = nbr.groupBy(F.col("src").alias("vid")).agg(
-                F.collect_list(F.col("_lv")).alias("_vals"),
-                F.collect_list(F.col("weight")).alias("_ws"),
+            # hub guard: a degree-10⁶ node would put its entire
+            # adjacency into one collected row / one straggler task —
+            # route nodes above the threshold to a weighted-MEAN
+            # placement (self segment folded the same way), keep the
+            # exact interpolated median for everything else
+            degs = deg.select(F.col("vid").alias("src"), "_d", "_wd")
+            nbrd = nbr.join(degs, "src")
+            hub_loc = (
+                nbrd.filter(F.col("_d") > cfg.hub_degree_threshold)
+                .groupBy(F.col("src").alias("vid"))
+                .agg(
+                    F.sum(F.col("weight") * F.col("_lv")).alias("_swl"),
+                    F.sum("weight").alias("_sw"),
+                    F.first("_wd").alias("_hwd"),
+                    F.first("_d").alias("_hd"),
+                )
+                .join(loc, "vid")
+                .select(
+                    "vid",
+                    (
+                        (F.col("_swl") + (F.col("_hwd") / F.col("_hd")) * F.col("location"))
+                        / (F.col("_sw") + F.col("_hwd") / F.col("_hd"))
+                    ).alias("location"),
+                )
+            )
+            lists = (
+                nbrd.filter(F.col("_d") <= cfg.hub_degree_threshold)
+                .groupBy(F.col("src").alias("vid"))
+                .agg(
+                    F.collect_list(F.col("_lv")).alias("_vals"),
+                    F.collect_list(F.col("weight")).alias("_ws"),
+                )
             )
 
             def med(batches):
@@ -173,11 +245,17 @@ def minimum_linear_arrangement(
 
             joined = loc.join(lists, "vid", "left").join(deg, "vid", "left")
             with_n = joined.filter(F.col("_vals").isNotNull())
-            without = joined.filter(F.col("_vals").isNull()).select("vid", "location")
+            # isolated nodes (no sym edges ⇒ no deg row) keep their
+            # location; hub nodes (_d > threshold) come from hub_loc
+            without = joined.filter(
+                F.col("_vals").isNull()
+                & (F.col("_d").isNull() | (F.col("_d") <= cfg.hub_degree_threshold))
+            ).select("vid", "location")
             new_loc = (
                 with_n.select("vid", "location", "_vals", "_ws", "_d", "_wd")
                 .mapInPandas(med, schema="vid long, location double")
                 .unionByName(without)
+                .unionByName(hub_loc)
             )
 
         # rescale to [0, n-1] (minla.cc:98-107)
@@ -200,23 +278,8 @@ def minimum_linear_arrangement(
 
     # final integer positions: deterministic (location, vid) order via
     # the two-phase range-partition ranking
-    keyed = (
-        loc.repartitionByRange(partitions, "location", "vid")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
+    out = _two_phase_rank(loc, ["location", "vid"], partitions).select(
+        "vid", F.col("_rank").alias("position")
     )
-    counts = keyed.groupBy("_pid").count().collect()
-    offs, acc = [], 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offs.append((int(row["_pid"]), int(acc)))
-        acc += row["count"]
-    off_df = edges.sparkSession.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
-    w2 = Window.partitionBy("_pid").orderBy("location", "vid")
-    out = cut_lineage(
-        keyed.withColumn("_rn", F.row_number().over(w2) - 1)
-        .join(F.broadcast(off_df), "_pid")
-        .select("vid", (F.col("_rn") + F.col("_off")).alias("position"))
-    )
-    keyed.unpersist()
     sym.unpersist()
     return out

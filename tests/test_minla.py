@@ -145,6 +145,53 @@ def test_improves_shuffled_path_cost(spark, metric):
     assert after < before
 
 
+def test_planted_hub_fallback(spark):
+    """A node whose degree exceeds hub_degree_threshold takes the
+    weighted-MEAN placement (scale guard: its adjacency never lands in
+    one collected row), everything else stays on the exact median path;
+    the arrangement still improves a shuffled layout and stays a
+    permutation of 0..n-1."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+    n = 40
+    # path + a hub (node 0) wired to everything with light weights
+    triples = [(i, i + 1, 2.0) for i in range(n - 1)]
+    triples += [(0, v, 0.1) for v in range(2, n)]
+    perm = list(range(n))
+    rng.shuffle(perm)
+    triples = [(perm[u], perm[v], w) for u, v, w in triples]
+    e = make_edges(spark, triples)
+
+    cfg_hub = MinlaConfig(cost_metric="l1", max_iterations=4,
+                          placement_convergence_delta=-1.0, hub_degree_threshold=10)
+    out = minimum_linear_arrangement(e, cfg_hub)
+    pos = {r["vid"]: r["position"] for r in out.collect()}
+    assert sorted(pos.values()) == list(range(n))  # a permutation
+    before = minla_cost(
+        e,
+        spark.createDataFrame(
+            [(v, float(v)) for v in range(n)], "vid long, location double"
+        ),
+    )
+    after = minla_cost(
+        e, out.select("vid", F.col("position").cast("double").alias("location"))
+    )
+    assert after < before
+    # non-hub nodes must match a run where no node is treated as a hub
+    # on everything except the hub's own placement ripple: check the
+    # exact path still runs and also yields a permutation
+    cfg_exact = MinlaConfig(cost_metric="l1", max_iterations=4,
+                            placement_convergence_delta=-1.0)
+    pos_exact = {
+        r["vid"]: r["position"]
+        for r in minimum_linear_arrangement(e, cfg_exact).collect()
+    }
+    assert sorted(pos_exact.values()) == list(range(n))
+
+
 def test_initial_order_seed(spark):
     # seeding with the optimal order of a path keeps it optimal
     triples = [(i, i + 1, 1.0) for i in range(10)]
