@@ -31,6 +31,27 @@ equivalence with from-scratch ParHac on the current graph, asserted at
 ε=0 (exact HAC) after arbitrary update sequences in
 tests/test_dynamic_hac.py.
 
+``dirty_unit="cluster"`` switches to the FINER unit a giant-component
+graph needs (mirroring the bounded dirty regions of the reference's
+color partitions, dynamic/hac/color_utils.h:28-76): the dirty unit is
+the FLAT CLUSTER at the linkage threshold — every dendrogram tree is
+one flat cluster (merges stop below the threshold), so cluster-granular
+invalidation replaces exactly the affected trees while the rest of a
+giant component stays cached.  Re-clustering runs the TeraHac subgraph
+kernel over the dirty clusters' vertices with 1-hop FROZEN boundary
+neighbors contracted to their cached clusters (weight = summed cross
+weight, size = cached cluster size — the exact similarity landscape of
+the cached fixpoint), then EXPANDS the dirty set and repeats whenever a
+re-clustered cluster's similarity to a frozen neighbor cluster reaches
+the threshold (removals can shrink clusters and push cross-cluster
+similarities back above it).  Per-update work is bounded by the touched
+clusters plus actual cascades, never the component.  Average-linkage
+reducibility makes insert-only sequences exactly scratch-equal at ε=0
+(cross-cluster similarities only fall as clusters grow, so frozen
+boundaries are sound); removal cascades re-converge through expansion
+and are scratch-equal on every tested sequence, with the same (1+ε)
+contract as the reference's partition-granular updater in general.
+
 Internal dendrogram node ids: each update re-keys the new merges into a
 fresh id range above everything allocated before (``_next_internal``),
 so cached rows from clean components never collide; parent > child
@@ -68,12 +89,26 @@ class DynamicHac:
     """DynamicHacClusterer analog.  ``weight_threshold`` is required
     (dynamic_hac.proto via hac.h:54-59); ``epsilon`` defaults 0."""
 
-    def __init__(self, spark: SparkSession, weight_threshold: float, epsilon: float = 0.0):
+    def __init__(
+        self,
+        spark: SparkSession,
+        weight_threshold: float,
+        epsilon: float = 0.0,
+        dirty_unit: str = "component",
+    ):
         if weight_threshold is None:
             raise ValueError("weight_threshold is required")
+        if dirty_unit not in ("component", "cluster"):
+            raise ValueError("dirty_unit must be 'component' or 'cluster'")
         self.spark = spark
         self.epsilon = float(epsilon)
         self.weight_threshold = float(weight_threshold)
+        # "component": exact scratch-equivalent re-clustering of whole
+        # dirty components.  "cluster": flat-cluster-granular dirtiness
+        # with frozen boundaries + expansion (module docstring) — the
+        # giant-component scale path; labels.comp then holds the
+        # cluster label (the dirty-unit id).
+        self.dirty_unit = dirty_unit
         # canonical undirected edges, src < dst
         self.edges = spark.createDataFrame([], _EMPTY_EDGES)
         # (vid, label, comp): flat cluster + component per vertex
@@ -160,6 +195,191 @@ class DynamicHac:
     # ---------------- delta reconciliation ----------------
 
     def _reconcile(
+        self,
+        new_edge_table: DataFrame,
+        touched: DataFrame,
+        delta_edges: int,
+        extra_dirty: DataFrame | None = None,
+    ) -> UpdateStats:
+        if self.dirty_unit == "cluster":
+            return self._reconcile_clusters(new_edge_table, touched, delta_edges, extra_dirty)
+        return self._reconcile_components(new_edge_table, touched, delta_edges, extra_dirty)
+
+    def _reconcile_clusters(
+        self,
+        new_edge_table: DataFrame,
+        touched: DataFrame,
+        delta_edges: int,
+        extra_dirty: DataFrame | None = None,
+    ) -> UpdateStats:
+        """Flat-cluster-granular reconcile with frozen boundaries and
+        expansion (module docstring).  ``labels.comp`` == cluster label
+        in this mode, so ``extra_dirty`` (comp,) rows are cluster ids."""
+        from graph_mining_spark.operators.terahac import _subgraph_hac_kernel
+
+        theta = self.weight_threshold
+        eps = self.epsilon
+        prune = theta / (1.0 + eps)
+        labels = self.labels
+        csize = cut_lineage(labels.groupBy("label").agg(F.count("*").alias("_csz")))
+
+        dirty = labels.join(touched, "vid", "left_semi").select("label").distinct()
+        if extra_dirty is not None:
+            dirty = dirty.unionByName(extra_dirty.select(F.col("comp").alias("label"))).distinct()
+        new_verts = cut_lineage(touched.join(labels.select("vid"), "vid", "left_anti"))
+        sym = new_edge_table.unionByName(
+            new_edge_table.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+        )
+
+        def run(pdf):
+            return _subgraph_hac_kernel(pdf, eps, theta)
+
+        for _round in range(1000):  # expansion fixpoint (monotone, bounded)
+            dirty = cut_lineage(dirty)
+            D = cut_lineage(
+                labels.join(dirty, "label", "left_semi")
+                .select("vid")
+                .unionByName(new_verts)
+                .distinct()
+            )
+            internal = cut_lineage(
+                sym.join(D.withColumnRenamed("vid", "src"), "src", "left_semi")
+                .join(D.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            )
+            # cross edges leave D; contract the frozen side to its
+            # cached cluster (summed weight, cached size)
+            cross = cut_lineage(
+                sym.join(D.withColumnRenamed("vid", "src"), "src", "left_semi")
+                .join(D.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+                .join(
+                    labels.select(F.col("vid").alias("dst"), F.col("label").alias("_fl")),
+                    "dst",
+                )
+                .groupBy("src", "_fl")
+                .agg(F.sum("weight").alias("weight"))
+            )
+            piece = connected_components(
+                internal, vertices=D, already_symmetric=True
+            ).select(F.col("vid").alias("src"), F.col("label").alias("_piece"))
+            inf = float("inf")
+            rows_int = internal.join(piece, "src").select(
+                F.col("_piece").alias("part"),
+                F.col("src").alias("u"),
+                F.col("dst").alias("v"),
+                F.col("weight").alias("w"),
+                F.lit(1.0).alias("su"),
+                F.lit(1.0).alias("sv"),
+                F.lit(inf).alias("mu"),
+                F.lit(inf).alias("mv"),
+                F.lit(True).alias("act_v"),
+            )
+            rows_cross = (
+                cross.join(piece, "src")
+                .join(csize.withColumnRenamed("label", "_fl"), "_fl")
+                .select(
+                    F.col("_piece").alias("part"),
+                    F.col("src").alias("u"),
+                    F.col("_fl").alias("v"),
+                    F.col("weight").alias("w"),
+                    F.lit(1.0).alias("su"),
+                    F.col("_csz").cast("double").alias("sv"),
+                    F.lit(inf).alias("mu"),
+                    F.lit(inf).alias("mv"),
+                    F.lit(False).alias("act_v"),
+                )
+            )
+            kout = cut_lineage(
+                rows_int.unionByName(rows_cross)
+                .groupBy("part")
+                .applyInPandas(
+                    run,
+                    schema="part long, vid long, label long, sim double, "
+                    "new_mm double, new_size double, into long, seq long",
+                )
+            )
+            newlab = kout.select("vid", "label")
+            # expansion: a re-clustered cluster whose similarity to a
+            # frozen cached cluster reaches the pruning threshold pulls
+            # that cluster into the dirty set (removals shrink clusters
+            # and can push cross-cluster sims back above threshold)
+            nsz = newlab.groupBy("label").agg(F.count("*").alias("_nsz"))
+            flagged = (
+                cross.join(newlab.withColumnRenamed("vid", "src"), "src")
+                .groupBy("label", "_fl")
+                .agg(F.sum("weight").alias("_w"))
+                .join(nsz, "label")
+                .join(csize.select(F.col("label").alias("_fl"), "_csz"), "_fl")
+                .filter(F.col("_w") / (F.col("_nsz") * F.col("_csz")) >= prune)
+                .select(F.col("_fl").alias("label"))
+                .distinct()
+            )
+            n_flagged = flagged.count()
+            if n_flagged == 0:
+                break
+            dirty = dirty.unionByName(flagged).distinct()
+        else:
+            raise RuntimeError("dynamic HAC expansion did not converge")
+
+        # ---- rebuild labels ----
+        singletons = D.join(newlab.select("vid"), "vid", "left_anti").select(
+            "vid", F.col("vid").alias("label")
+        )
+        newlab_full = newlab.unionByName(singletons)
+        new_labels = newlab_full.select("vid", "label", F.col("label").alias("comp"))
+
+        # ---- rebuild dendrogram rows (participation-lag parent array,
+        # same construction as terahac's builder) ----
+        from pyspark.sql import Window
+
+        m = kout.filter(F.col("vid") != F.col("label")).select(
+            "part", "seq", F.col("vid").alias("gone"), "into", "sim",
+            F.col("label").alias("_root"),
+        )
+        base = self._next_internal
+        w_ids = Window.partitionBy(F.lit(1)).orderBy("part", "seq")
+        m = cut_lineage(m.withColumn("pid", F.row_number().over(w_ids) + F.lit(base) - 1))
+        n_new = int(m.count())
+        self._next_internal = base + n_new
+        partic = m.select(
+            F.col("gone").alias("cluster"), "part", "seq", "pid", "sim", "_root"
+        ).unionByName(
+            m.select(F.col("into").alias("cluster"), "part", "seq", "pid", "sim", "_root")
+        )
+        w_ch = Window.partitionBy("cluster").orderBy("part", "seq")
+        children = partic.select(
+            F.col("_root").alias("comp"),
+            F.coalesce(F.lag("pid").over(w_ch), F.col("cluster")).alias("node_id"),
+            F.col("pid").alias("parent_id"),
+            F.col("sim").alias("merge_similarity"),
+        )
+        roots = (
+            partic.filter(F.col("cluster") == F.col("_root"))
+            .groupBy(F.col("cluster").alias("comp"))
+            .agg(F.max("pid").alias("node_id"))
+            .select(
+                "comp", "node_id",
+                F.lit(None).cast("long").alias("parent_id"),
+                F.lit(None).cast("double").alias("merge_similarity"),
+            )
+        )
+        new_dendro = children.unionByName(roots)
+
+        dirty_c = dirty.select(F.col("label").alias("comp"))
+        clean_labels = labels.join(dirty_c, "comp", "left_anti")
+        clean_dendro = self.dendro.join(dirty_c, "comp", "left_anti")
+        n_dirty_nodes = int(D.count())
+        n_dirty_units = int(dirty.count())
+        self.labels = cut_lineage(clean_labels.unionByName(new_labels))
+        self.dendro = cut_lineage(clean_dendro.unionByName(new_dendro))
+        self.edges = new_edge_table
+        return UpdateStats(
+            dirty_partitions=n_dirty_units,
+            dirty_nodes=n_dirty_nodes,
+            dirty_edges=delta_edges,
+            nodes_ignored=0,
+        )
+
+    def _reconcile_components(
         self,
         new_edge_table: DataFrame,
         touched: DataFrame,

@@ -70,7 +70,10 @@ class TeraHacConfig:
     output_dendrogram: bool = False
 
 
-def _heap_core(adj: dict, size: dict, mm: dict, active: dict, epsilon: float):
+def _heap_core(
+    adj: dict, size: dict, mm: dict, active: dict, epsilon: float,
+    min_merge_sim: float = float("-inf"),
+):
     """Sequential good-edge heap HAC over dict state (shared by the
     pure-python kernel and the batched kernel's low-candidate tail).
 
@@ -79,7 +82,12 @@ def _heap_core(adj: dict, size: dict, mm: dict, active: dict, epsilon: float):
     candidate is always the exact global minimum of ``(goodness, a,
     b)`` over currently-good both-active edges, with per-edge versioned
     lazy invalidation (the Spark-side analog of the reference's
-    bucketed priority queue, approximate_subgraph_hac.cc:56-170)."""
+    bucketed priority queue, approximate_subgraph_hac.cc:56-170).
+
+    ``min_merge_sim``: only edges with similarity ≥ this value are
+    merge candidates (the dynamic-HAC path sets it to the linkage
+    threshold so local re-clustering matches threshold HAC; terahac()
+    leaves it unbounded — its outer loop prunes actives instead)."""
     from heapq import heappop, heappush
 
     def sim(a, b):
@@ -112,7 +120,7 @@ def _heap_core(adj: dict, size: dict, mm: dict, active: dict, epsilon: float):
         if not (active.get(a) and active.get(b)):
             return
         g, w_ab = goodness(a, b)
-        if g is not None and g <= bound:
+        if g is not None and g <= bound and w_ab >= min_merge_sim:
             heappush(heap, (g, a, b, ver, w_ab))
 
     for a in adj:
@@ -263,7 +271,7 @@ def _subgraph_hac_kernel_py(pdf, epsilon: float):
     ).astype({"part": "int64", "vid": "int64", "label": "int64"})
 
 
-def _subgraph_hac_kernel(pdf, epsilon: float):
+def _subgraph_hac_kernel(pdf, epsilon: float, min_merge_sim: float = float("-inf")):
     """Batched NumPy ApproximateSubgraphHac over one partition's rows.
 
     Same contract as :func:`_subgraph_hac_kernel_py`, but instead of
@@ -343,12 +351,14 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
         np.maximum.at(best, ea, sims)
         denom = np.minimum(sims, np.minimum(mm[ea], mm[eb]))
         g = np.maximum(best[ea], best[eb]) / denom
-        good = act[ea] & act[eb] & (denom > 0) & (g <= bound)
+        good = act[ea] & act[eb] & (denom > 0) & (g <= bound) & (sims >= min_merge_sim)
         n_good = int(np.count_nonzero(good))
         if n_good == 0:
             break
         if n_good < _TAIL_GOOD_EDGES:
-            merges.extend(_np_state_to_heap_tail(ea, eb, ew, size, mm, act, epsilon))
+            merges.extend(
+                _np_state_to_heap_tail(ea, eb, ew, size, mm, act, epsilon, min_merge_sim)
+            )
             break
         idx = np.flatnonzero(good)
         ca_ = np.minimum(ea[idx], eb[idx])
@@ -419,7 +429,7 @@ def _subgraph_hac_kernel(pdf, epsilon: float):
 _TAIL_GOOD_EDGES = 1024
 
 
-def _np_state_to_heap_tail(ea, eb, ew, size, mm, act, epsilon):
+def _np_state_to_heap_tail(ea, eb, ew, size, mm, act, epsilon, min_merge_sim=float("-inf")):
     """Finish a batched kernel run with :func:`_heap_core`: convert the
     contracted array state to dict state, run the sequential heap to
     completion, and write final size/mm/activity back into the arrays."""
@@ -430,7 +440,7 @@ def _np_state_to_heap_tail(ea, eb, ew, size, mm, act, epsilon):
     size_d = {x: float(size[x]) for x in nodes}
     mm_d = {x: float(mm[x]) for x in nodes}
     act_d = {x: bool(act[x]) for x in nodes}
-    out = _heap_core(adj, size_d, mm_d, act_d, epsilon)
+    out = _heap_core(adj, size_d, mm_d, act_d, epsilon, min_merge_sim)
     for x in nodes:
         size[x] = size_d[x]
         mm[x] = mm_d[x]

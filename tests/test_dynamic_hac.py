@@ -27,9 +27,10 @@ def _scratch(spark, triples, thr):
     return _labels(labels)
 
 
-def test_incremental_equals_scratch(spark):
+@pytest.mark.parametrize("unit", ["component", "cluster"])
+def test_incremental_equals_scratch(spark, unit):
     thr = 0.3
-    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0)
+    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0, dirty_unit=unit)
     all_edges = [
         (u, v, 1.0 + 0.031 * ((u * 3 + v * 7) % 11))
         for u, v, _ in seeded_er_edges(16, 0.25, seed=6)
@@ -49,9 +50,10 @@ def test_incremental_equals_scratch(spark):
     assert canonicalize_clusters(got2) == canonicalize_clusters(want2)
 
 
-def test_remove_equals_scratch(spark):
+@pytest.mark.parametrize("unit", ["component", "cluster"])
+def test_remove_equals_scratch(spark, unit):
     thr = 0.3
-    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0)
+    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0, dirty_unit=unit)
     all_edges = [
         (u, v, 1.0 + 0.031 * ((u * 5 + v * 3) % 11))
         for u, v, _ in seeded_er_edges(14, 0.3, seed=9)
@@ -118,3 +120,71 @@ def test_merge_two_components_via_insert(spark):
 def test_weight_threshold_required(spark):
     with pytest.raises(ValueError):
         DynamicHac(spark, weight_threshold=None)
+    with pytest.raises(ValueError):
+        DynamicHac(spark, weight_threshold=1.0, dirty_unit="color")
+
+
+def test_cluster_unit_giant_component_bounded_dirty_work(spark):
+    """The VERDICT-r03 scale gap: on a giant single component, an
+    update in cluster mode must dirty only the touched flat cluster(s),
+    not the component.  Path of K4 cliques joined by sub-threshold
+    bridges = one component, many clusters."""
+    thr = 1.0
+    n_cliques, k = 25, 4
+    triples = []
+    for c in range(n_cliques):
+        base = c * k
+        for i in range(k):
+            for j in range(i + 1, k):
+                triples.append((base + i, base + j, 2.0))
+        if c:  # bridge below threshold keeps clusters separate
+            triples.append((base - 1, base, 0.2))
+    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0, dirty_unit="cluster")
+    dyn.insert(make_edges(spark, triples))
+    before = _labels(dyn.flat_cluster())
+    assert len(set(before.values())) == n_cliques  # one cluster per clique
+
+    # strengthen one edge inside clique 7: only that cluster goes dirty
+    stats = dyn.insert(make_edges(spark, [(7 * k, 7 * k + 1, 3.0)]))
+    assert stats.dirty_partitions == 1
+    assert stats.dirty_nodes == k, "dirty work bounded by the cluster, not the component"
+    got = _labels(dyn.flat_cluster())
+    assert canonicalize_clusters(got) == canonicalize_clusters(before)
+    # and equality with scratch on the full graph
+    want = _scratch(spark, triples + [(7 * k, 7 * k + 1, 3.0)], thr)
+    want = {v: want.get(v, v) for v in got}
+    assert canonicalize_clusters(got) == canonicalize_clusters(want)
+
+
+def test_cluster_unit_removal_expansion(spark):
+    """Removal shrinks a cluster and pushes a cross-cluster similarity
+    back above threshold: the expansion loop must pull the frozen
+    neighbor cluster in and merge — matching scratch."""
+    thr = 1.0
+    triples = [(0, 1, 2.0), (0, 5, 1.5)]
+    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0, dirty_unit="cluster")
+    dyn.insert(make_edges(spark, triples))
+    got0 = canonicalize_clusters(_labels(dyn.flat_cluster()))
+    assert got0 == [(0, 1), (5,)]  # sim({0,1},5) = 1.5/2 < 1
+
+    stats = dyn.remove(spark.createDataFrame([(1,)], "vid long"))
+    # {0}'s sim to frozen {5} is now 1.5 >= thr -> expansion pulled 5 in
+    assert stats.dirty_partitions == 2
+    got = canonicalize_clusters(_labels(dyn.flat_cluster()))
+    want = canonicalize_clusters(_scratch(spark, [(0, 5, 1.5)], thr))
+    assert got == want == [(0, 5)]
+
+
+def test_cluster_unit_merge_across_clusters(spark):
+    """An insert that bridges two cached clusters above threshold must
+    dirty exactly those two and produce the scratch merge."""
+    thr = 0.5
+    triples = [(0, 1, 1.0), (5, 6, 1.0), (10, 11, 1.0)]
+    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0, dirty_unit="cluster")
+    dyn.insert(make_edges(spark, triples))
+    stats = dyn.insert(make_edges(spark, [(1, 5, 3.0)]))
+    assert stats.dirty_partitions == 2
+    assert stats.dirty_nodes == 4
+    got = canonicalize_clusters(_labels(dyn.flat_cluster()))
+    want = canonicalize_clusters(_scratch(spark, triples + [(1, 5, 3.0)], thr))
+    assert got == want
