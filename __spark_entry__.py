@@ -326,13 +326,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # full multi-level Louvain fixpoints — gated by the sequential
     # oracle in tests/test_correlation.py (rows-only here)
-    q["louvain_bipartite"] = lambda s, d: correlation_cluster(
-        bipartite_sym(s, d),
-        CorrelationConfig(edge_weight_offset=1.5, louvain_num_iterations=3,
-                          louvain_num_inner_iterations=5),
-        already_symmetric=True,
-    )
-    q["modularity_coparts"] = lambda s, d: modularity_cluster(coparts_edges(s, d), resolution=1.0)
+    # full-fixpoint Louvain + modularity labels in ONE tagged slot
+    # (rows-only; both fixpoints are pytest-gated in
+    # tests/test_correlation.py)
+    def _louvain_modularity(s, d):
+        louv = correlation_cluster(
+            bipartite_sym(s, d),
+            CorrelationConfig(edge_weight_offset=1.5, louvain_num_iterations=3,
+                              louvain_num_inner_iterations=5),
+            already_symmetric=True,
+        ).select(F.lit("louvain_bipartite").alias("variant"), "vid", "label")
+        mod = modularity_cluster(coparts_edges(s, d), resolution=1.0).select(
+            F.lit("modularity_coparts").alias("variant"), "vid", "label"
+        )
+        return louv.unionByName(mod)
+
+    q["louvain_modularity_labels"] = _louvain_modularity
+
+    # the correlation OBJECTIVE itself is a closed formula —
+    # Σ_intra (w − offset) − res/2 · Σ_C (K_C² − Σ k_v²) — so the
+    # evaluator gets a full DuckDB twin on fixed mod-7 labels with
+    # non-uniform node weights
+    def _corr_obj(s, d):
+        from graph_mining_spark.operators.correlation import correlation_objective
+
+        sym = bipartite_sym(s, d)
+        labels = _mod7_labels(sym)
+        nw = labels.select(
+            "vid", (F.lit(1.0) + (F.col("vid") % 3)).cast("double").alias("node_weight")
+        )
+        val = correlation_objective(
+            sym, labels, node_weights=nw, resolution=0.05, edge_weight_offset=0.1
+        )
+        return s.createDataFrame([(float(val),)], "objective double").select(
+            F.round("objective", 4).alias("objective")
+        )
+
+    q["correlation_objective_mod7_bipartite"] = _corr_obj
 
     # size-constrained affinity (EnforceMaxClusterSize) — the sequential
     # per-component union-find is order-dependent, so the exact gate is
@@ -351,17 +381,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["affinity_sized_bipartite"] = _affinity_sized
 
-    # ParHac (1+ε)-approximate HAC — merge sequence is an iterative
-    # argmax fixpoint, gated by the sequential oracle in tests/test_hac.py
-    def _parhac(s, d):
+    # ParHac (1+ε)-approximate HAC + dynamic HAC in ONE tagged slot:
+    # parhac's merge sequence is gated by the sequential oracle in
+    # tests/test_hac.py; the dynamic variant runs a scripted
+    # insert/insert/remove sequence through the CLUSTER-granular dirty
+    # unit (scratch-equivalence gated in tests/test_dynamic_hac.py)
+    def _hac_labels(s, d):
+        from graph_mining_spark.operators.dynamic_hac import DynamicHac
         from graph_mining_spark.operators.hac import ParHacConfig, parhac
 
         _, labels = parhac(
             nations_edges(s, d), ParHacConfig(epsilon=0.1, linkage_threshold=0.05)
         )
-        return labels
+        e = nations_edges(s, d)
+        dyn = DynamicHac(s, weight_threshold=0.05, epsilon=0.0, dirty_unit="cluster")
+        dyn.insert(e.filter(F.col("src") < 12))
+        dyn.insert(e.filter(F.col("src") >= 12))
+        dyn.remove(s.createDataFrame([(3,), (17,)], "vid long"))
+        return labels.select(F.lit("parhac").alias("variant"), "vid", "label").unionByName(
+            dyn.flat_cluster().select(F.lit("dynamic_seq").alias("variant"), "vid", "label")
+        )
 
-    q["parhac_labels_nations"] = _parhac
+    q["hac_labels_nations"] = _hac_labels
 
     # string-keyed tie-breaking (MaxWeightTiebreaker) — xxhash64 has no
     # DuckDB twin; gated by the python-argmax oracle in
@@ -402,46 +443,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fde_embeddings_by_label"] = _fde
 
-    # coconductance Louvain — iterative ratio-objective fixpoint, gated
-    # by the sequential oracle in tests/test_coconductance.py
-    def _cocond(s, d):
+    # coconductance Louvain + ACN-pivot QuickCluster in ONE tagged slot
+    # (both fixpoints of sequential greedies with exact sequential
+    # oracles in tests/test_coconductance.py / tests/test_quick_cluster.py)
+    def _pivot_cocond(s, d):
         from graph_mining_spark.operators.coconductance import (
             CoconductanceConfig,
             coconductance_cluster,
         )
 
-        return coconductance_cluster(
+        cc = coconductance_cluster(
             coparts_edges(s, d), CoconductanceConfig(exponent=1.0, num_levels=2, num_inner_iterations=3)
+        ).select(F.lit("coconductance").alias("variant"), "vid", "label")
+        qc = quick_cluster(coparts_edges(s, d), edge_weight_offset=1.5).select(
+            F.lit("quick_cluster").alias("variant"), "vid", "label"
         )
+        return cc.unionByName(qc)
 
-    q["coconductance_coparts"] = _cocond
+    q["pivot_coconductance_coparts"] = _pivot_cocond
 
-    # TeraHac — per-partition subgraph HAC; gated by exact-HAC parity
-    # at eps=0 in tests/test_terahac.py (rows-only here)
+    # TeraHac — per-partition subgraph HAC: flat labels at ε=0.1 AND
+    # the ε=0 parent-array dendrogram in ONE tagged slot (exact-HAC /
+    # dendrogram-parity gates in tests/test_terahac.py; rows-only here)
     def _terahac(s, d):
         from graph_mining_spark.operators.terahac import TeraHacConfig, terahac
 
         labels, _log = terahac(
             nations_edges(s, d), TeraHacConfig(epsilon=0.1, linkage_threshold=0.05)
         )
-        return labels
-
-    q["terahac_labels_nations"] = _terahac
-
-    # TeraHac parent-array dendrogram (same surface as parhac's) —
-    # gated by the eps=0 dendrogram parity test in tests/test_terahac.py
-    def _terahac_dendro(s, d):
-        from graph_mining_spark.operators.terahac import TeraHacConfig, terahac
-
-        _labels, _log, dendro = terahac(
+        _labels, _log2, dendro = terahac(
             nations_edges(s, d),
             TeraHacConfig(epsilon=0.0, linkage_threshold=0.05, output_dendrogram=True),
         )
-        return dendro.select(
-            "node_id", "parent_id", F.round("merge_similarity", 6).alias("merge_similarity")
+        lab_rows = labels.select(
+            F.lit("labels_eps01").alias("variant"),
+            F.col("vid").alias("id1"), F.col("label").alias("id2"),
+            F.lit(None).cast("double").alias("val"),
         )
+        den_rows = dendro.select(
+            F.lit("dendrogram_eps0").alias("variant"),
+            F.col("node_id").alias("id1"), F.col("parent_id").alias("id2"),
+            F.round("merge_similarity", 6).alias("val"),
+        )
+        return lab_rows.unionByName(den_rows)
 
-    q["terahac_dendrogram_nations"] = _terahac_dendro
+    q["terahac_nations"] = _terahac
 
     # clique aggregator (dense-subgraph covers) — recursive
     # Bron-Kerbosch-pruned kernel; exact maximal-clique identity at
@@ -482,12 +528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["linkgraph_pipeline"] = _linkgraph
-
-    # ACN pivot correlation clustering — fixpoint of a sequential
-    # greedy; gated by the exact sequential oracle in pytest
-    q["quick_cluster_coparts"] = lambda s, d: quick_cluster(
-        coparts_edges(s, d), edge_weight_offset=1.5
-    )
 
     # -- training-data pipeline: dedup / text / similarity --
     q["dedup_exact_documents"] = lambda s, d: dedup_exact(_docs(s, d))
@@ -576,21 +616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = _events
 
-    # dynamic HAC: scripted insert/insert/remove sequence, final flat
-    # clusters — incremental-vs-scratch equivalence gated at eps=0 in
-    # tests/test_dynamic_hac.py (driver-side stateful object, rows-only)
-    def _dynamic_hac(s, d):
-        from graph_mining_spark.operators.dynamic_hac import DynamicHac
-
-        e = nations_edges(s, d)
-        dyn = DynamicHac(s, weight_threshold=0.05, epsilon=0.0)
-        dyn.insert(e.filter(F.col("src") < 12))
-        dyn.insert(e.filter(F.col("src") >= 12))
-        dyn.remove(s.createDataFrame([(3,), (17,)], "vid long"))
-        return dyn.flat_cluster()
-
-    q["dynamic_hac_sequence"] = _dynamic_hac
-
     # IVF coarse-cell ANN (second scale path next to LSH) — k-means
     # centroids have no SQL twin; recall/determinism gated in
     # tests/test_functions.py (rows-only)
@@ -609,10 +634,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Canonical registry order: every oracle-gated query first (the
     # driver caps its correctness report at 50 entries, in registration
-    # order — round 2 silently trimmed the last two), then the
-    # rows-only / pytest-gated queries.  Exactly 50 total.
+    # order), then the rows-only / pytest-gated queries.  Exactly 50
+    # registered — nothing falls off the cap (round-3 verdict #4:
+    # related queries merged into tagged-union slots instead).
     order = [
-        # oracle-gated (38)
+        # oracle-gated (40)
         "edge_build_bipartite", "degrees_bipartite", "sparsify_top5_soft",
         "best_neighbor_bipartite", "cc_nations", "triangles_coparts",
         "cluster_stats_mod7", "contract_sum_mod7", "contract_avg_mod7",
@@ -622,20 +648,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_csr_iter2_bipartite", "affinity_bipartite", "sssp_nations",
         "minla_l2_nations", "pairwise_all_nations", "symmetrize_modes_asym",
         "louvain_round1_bipartite", "correlation_bipartite_round1",
+        "correlation_objective_mod7_bipartite",
         "linkgraph_pipeline", "dedup_exact_documents", "text_stats_documents",
         "token_counts_documents", "lang_id_documents", "fingerprint_documents",
         "minhash_documents", "ngram_jaccard_documents", "simhash_documents",
         "lsh_pairs_documents", "ann_cosine_top3", "ann_lsh_top3",
         "relational_q1", "topk_orders_per_customer", "events_hourly",
-        # rows-only, pytest-gated (12)
-        "clique_aggregator_coparts", "parline_coparts",
-        "terahac_labels_nations", "terahac_dendrogram_nations",
-        "parhac_labels_nations", "louvain_bipartite", "modularity_coparts",
+        # rows-only, pytest-gated (10)
+        "clique_aggregator_coparts", "parline_coparts", "terahac_nations",
+        "hac_labels_nations", "louvain_modularity_labels",
         "affinity_sized_bipartite", "best_neighbor_tiebreak_bipartite",
-        "fde_embeddings_by_label", "coconductance_coparts",
-        # best-effort beyond the 50-entry cap
-        "quick_cluster_coparts", "dynamic_hac_sequence", "ann_ivf_top3",
+        "fde_embeddings_by_label", "pivot_coconductance_coparts",
+        "ann_ivf_top3",
     ]
+    assert len(order) == 50, len(order)
     assert set(order) == set(q), sorted(set(order) ^ set(q))
     return {k: q[k] for k in order}
 
@@ -1190,6 +1216,31 @@ def oracle_sql() -> dict[str, str]:
         FROM verts v LEFT JOIN tgt t ON v.vid = t.vid
       )
       SELECT vid, min(vid) OVER (PARTITION BY label) AS label FROM lab
+    """
+
+    # correlation objective on fixed mod-7 labels / mod-3 node weights:
+    # Σ_intra (w − offset) − res/2 · Σ_C (K_C² − Σ_v k_v²)
+    # (correlation_objective, operators/correlation.py — the same
+    # closed formula over the symmetric edge table, each unordered
+    # intra pair counted once via the /2)
+    o["correlation_objective_mod7_bipartite"] = f"""
+      WITH sym AS (SELECT * FROM ({BIPARTITE_SYM_SQL})),
+      lab AS (
+        SELECT DISTINCT src AS vid, src % 7 AS label,
+               1.0 + CAST(src % 3 AS DOUBLE) AS nw
+        FROM sym
+      ),
+      intra AS (
+        SELECT COALESCE(sum(e.weight - 0.1), 0) / 2.0 AS s
+        FROM sym e JOIN lab a ON e.src = a.vid JOIN lab b ON e.dst = b.vid
+        WHERE e.src <> e.dst AND a.label = b.label
+      ),
+      grp AS (
+        SELECT (pow(sum(nw), 2) - sum(nw * nw)) / 2.0 AS pairs
+        FROM lab GROUP BY label
+      ),
+      pc AS (SELECT COALESCE(sum(pairs), 0) AS p FROM grp)
+      SELECT round((SELECT s FROM intra) - 0.05 * (SELECT p FROM pc), 4) AS objective
     """
 
     # -- the synthesized link-graph pipeline, re-derived independently:

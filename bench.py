@@ -124,11 +124,20 @@ def main() -> None:
     supersteps["label_propagation_2r"] = 2
 
     total = round(sum(queries.values()), 3)
-    # north-rule throughput: CSR PageRank + CSR CC (the fast paths),
-    # superstep compute only (shared shard build reported separately)
-    iter_steps = supersteps["pagerank_csr_1e6"] + supersteps["cc_csr"]
-    iter_wall = queries["pagerank_csr_1e6"] + queries["cc_csr"]
-    eps_per_superstep = round(m * iter_steps / iter_wall, 1) if iter_wall > 0 else 0.0
+    # TWO labeled throughput definitions (round-3 verdict #6 asked for
+    # both so cross-round comparisons stay honest):
+    #   _df  — DataFrame PageRank + CC, the unbounded-scale execution
+    #          path and the definition BENCH/BASELINE.md's north-rule
+    #          scaling gate uses (r02 reported this one);
+    #   _csr — the CSR fast paths, superstep compute only (the shared
+    #          shard build is its own line; r03 reported this one).
+    # The legacy unsuffixed key equals the _df definition.
+    df_steps = supersteps["pagerank_1e6"] + supersteps["cc"]
+    df_wall = queries["pagerank_1e6"] + queries["cc"]
+    eps_df = round(m * df_steps / df_wall, 1) if df_wall > 0 else 0.0
+    csr_steps = supersteps["pagerank_csr_1e6"] + supersteps["cc_csr"]
+    csr_wall = queries["pagerank_csr_1e6"] + queries["cc_csr"]
+    eps_csr = round(m * csr_steps / csr_wall, 1) if csr_wall > 0 else 0.0
 
     shards.unpersist()
     print(
@@ -141,7 +150,9 @@ def main() -> None:
                 "sf": sf,
                 "edges": m,
                 "supersteps": supersteps,
-                "edges_per_sec_per_superstep": eps_per_superstep,
+                "edges_per_sec_per_superstep": eps_df,
+                "edges_per_sec_per_superstep_df": eps_df,
+                "edges_per_sec_per_superstep_csr": eps_csr,
                 "cpus": cpus,
                 "repeats": repeats,
             }
