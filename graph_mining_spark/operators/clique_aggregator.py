@@ -33,9 +33,10 @@ is inherently global).
 
 Scale: the per-component kernel is the same bound the reference's
 shared-memory recursion has; the 100 TB path presplits giant components
-upstream (affinity threshold / k-core peel) exactly as one must for the
-reference, and the bitset kernel bounds per-call work by the component's
-degeneracy, not its size.
+upstream with :func:`k_core_presplit` (distributed (k−1)-core peel,
+exact for cliques of size ≥ k — see its docstring), and the bitset
+kernel bounds per-call work by the component's degeneracy, not its
+size.
 """
 
 from __future__ import annotations
@@ -305,6 +306,52 @@ def clique_aggregator_kernel(
 
 
 # ---------------- distributed operator ----------------
+
+
+def k_core_presplit(
+    edges: DataFrame,
+    min_clique_size: int = 3,
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """Giant-component guard for :func:`clique_aggregator` — the
+    presplit the module docstring's 100 TB path calls for.
+
+    Iteratively peels every vertex of degree < ``min_clique_size − 1``
+    (the distributed (k−1)-core, the same peel the reference's
+    degeneracy ordering performs eagerly in shared memory,
+    degeneracy_orientation.cc:57-121).  EXACTNESS CONTRACT: every
+    clique of size ≥ ``min_clique_size`` lies in the
+    (min_clique_size−1)-core (each member has ≥ min_clique_size−1
+    neighbors inside the clique), so running the aggregator on the
+    peeled graph preserves every such clique; only cliques SMALLER than
+    ``min_clique_size`` (e.g. bare edges when min_clique_size=3) can be
+    lost, which is the caller's stated filter.  A giant sparse
+    component — a web-scale link graph's tree/path periphery — unravels
+    completely, leaving only dense cores for the per-component kernels.
+
+    Returns the peeled undirected edge table (both orientations),
+    ready for ``clique_aggregator(..., already_symmetric=True)``.
+    """
+    from graph_mining_spark.checkpoint import cut_lineage
+
+    k = int(min_clique_size) - 1
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    cur = cut_lineage(
+        symmetrize(e.withColumn("weight", F.lit(1.0))).select("src", "dst").distinct()
+    )
+    n_prev = cur.select("src").distinct().count()
+    for _ in range(max_iterations):
+        deg = cur.groupBy("src").agg(F.count("*").alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("src")
+        cur = cut_lineage(
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+        )
+        n_now = cur.select("src").distinct().count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
+    return cur
 
 
 def clique_aggregator(

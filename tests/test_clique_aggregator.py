@@ -161,3 +161,35 @@ def test_spark_allow_disconnected_single_group(spark):
     members = {r.member for r in rows}
     assert members == {0, 1, 2, 3}
     assert len({r.cluster_key for r in rows}) == 1
+
+
+def test_k_core_presplit_unravels_giant_sparse_component(spark):
+    """A planted giant sparse component (a 600-vertex path glued to a
+    K5) must shrink to just the dense core before the kernel: the
+    (k-1)-core peel removes the entire path while preserving every
+    clique of size >= 3 exactly."""
+    from graph_mining_spark.operators.clique_aggregator import k_core_presplit
+
+    n_path = 600
+    path = [(i, i + 1, 1.0) for i in range(n_path - 1)]
+    k5_base = n_path
+    k5 = [
+        (k5_base + i, k5_base + j, 1.0)
+        for i in range(5)
+        for j in range(i + 1, 5)
+    ]
+    bridge = [(n_path - 1, k5_base, 1.0)]  # glue path into the clique's component
+    df = make_edges(spark, path + k5 + bridge)
+
+    core = k_core_presplit(df, min_clique_size=3)
+    core_nodes = {r["src"] for r in core.select("src").distinct().collect()}
+    assert core_nodes == {k5_base + i for i in range(5)}, "only the K5 survives"
+
+    out = clique_aggregator(
+        core, CliqueAggregatorConfig(min_density=1.0), already_symmetric=True
+    )
+    rows = out.collect()
+    keys = {r["cluster_key"] for r in rows}
+    assert len(keys) == 1  # exactly one maximal clique of size >= 3
+    assert sorted(r["member"] for r in rows) == sorted(k5_base + i for i in range(5))
+    assert all(r["cluster_size"] == 5 and r["density"] == 1.0 for r in rows)

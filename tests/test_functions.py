@@ -245,5 +245,35 @@ def test_multimodal_plumbing(spark):
         want = hashlib.sha256(text.encode()).hexdigest()
         assert feats[doc_id]["checksum"] == want
         assert feats[doc_id]["n_bytes"] == len(text.encode())
-    with pytest.raises(NotImplementedError):
-        decode_image(media)
+    # compressed/unknown formats still refuse inside the kernel
+    with pytest.raises(Exception, match="unsupported image magic"):
+        decode_image(media).collect()
+
+
+def test_decode_image_bmp_ppm_roundtrip(spark):
+    """Real in-sandbox decode: a deterministic gradient image encoded
+    as 24-bit BMP and binary PPM must round-trip bit-exactly through
+    the mapInPandas decode kernel (pure NumPy, no imaging library)."""
+    import numpy as np
+
+    from graph_mining_spark.functions.multimodal import _decode_bmp, encode_bmp
+
+    h, w = 13, 17  # odd width exercises BMP 4-byte row padding
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([(x * 15) % 256, (y * 19) % 256, (x + y) % 256], axis=-1).astype(np.uint8)
+
+    bmp = encode_bmp(img)
+    assert bmp[:2] == b"BM"
+    np.testing.assert_array_equal(_decode_bmp(bmp), img)  # kernel-level
+
+    ppm = b"P6\n# comment\n%d %d\n255\n" % (w, h) + img.tobytes()
+    media = spark.createDataFrame(
+        [(0, bytearray(bmp), "image/bmp", len(bmp)), (1, bytearray(ppm), "image/x-ppm", len(ppm))],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    out = {r["media_id"]: r for r in decode_image(media).collect()}
+    for mid in (0, 1):
+        r = out[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, 3)
+        np.testing.assert_array_equal(got, img)
