@@ -54,11 +54,12 @@ class MinlaConfig:
     hub_degree_threshold: int = 65536
 
 
-def _two_phase_rank(df: DataFrame, order_cols: list, partitions: int) -> DataFrame:
+def _two_phase_rank(df: DataFrame, order_cols: list, partitions: int, cut: bool = True) -> DataFrame:
     """0-based global rank of ``df`` by ``order_cols`` without a
     single-partition sort: range-partition by the key, rank inside each
     partition, add broadcast per-partition count offsets.  Returns the
-    input columns plus ``_rank``."""
+    input columns plus ``_rank``.  ``cut=False`` skips the lineage cut
+    so the EXPLAIN audit can inspect the ranking plan itself."""
     cols = list(df.columns)
     keyed = (
         df.repartitionByRange(partitions, *order_cols)
@@ -72,12 +73,14 @@ def _two_phase_rank(df: DataFrame, order_cols: list, partitions: int) -> DataFra
         acc += row["count"]
     off_df = df.sparkSession.createDataFrame(offs or [(0, 0)], "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = cut_lineage(
+    out = (
         keyed.withColumn("_rn", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), "_pid")
         .select(*cols, (F.col("_rn") + F.col("_off")).alias("_rank"))
     )
-    keyed.unpersist()
+    if cut:
+        out = cut_lineage(out)
+        keyed.unpersist()
     return out
 
 

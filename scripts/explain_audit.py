@@ -19,7 +19,7 @@ from graph_mining_spark.graph import degrees, sparsify_top_k
 from graph_mining_spark.operators.affinity import best_neighbor
 from graph_mining_spark.operators.triangles import triangle_list
 from graph_mining_spark.session import get_spark
-from graph_mining_spark.tpch_graph import bipartite_sym, coparts_edges
+from graph_mining_spark.tpch_graph import bipartite_sym, coparts_edges, nations_edges
 
 SF = "/root/testdata/sf0.01"
 
@@ -98,6 +98,64 @@ def main() -> None:
         plan(best_moves(sym, labels, nw, resolution=0.01, edge_weight_offset=1.0)),
     ))
 
+    parts = labels.select("vid", (F.col("vid") % 2).cast("int").alias("part"))
+    sections.append((
+        "bipartite best-move round (correlation, use_bipartite_objective)",
+        "same shape as the standard round plus one (cluster, part)-keyed "
+        "aggregate (cluster-count-sized) joined twice on (label, opposite "
+        "part); the edge-sized work stays a single edges-joined-labels hash "
+        "aggregate with partial sums; no windows over edges, no "
+        "BatchEvalPython anywhere.",
+        plan(best_moves(sym, labels, nw, resolution=0.01, edge_weight_offset=1.0,
+                        parts=parts)),
+    ))
+
+    from graph_mining_spark.functions.ann import ivf_cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sections.append((
+        "IVF cosine top-k (final scoring stage)",
+        "centroid tables are literal LocalTableScans broadcast into every "
+        "join; the base is scanned once per Lloyd iteration; the "
+        "probe-to-list join keys on the int cell id so only probed cells "
+        "shuffle; cosine is a JVM higher-order aggregate inside "
+        "WholeStageCodegen.  The final plan reads the checkpointed scoring "
+        "RDD (lineage cut), so it shows as an ExistingRDD scan.",
+        plan(ivf_cosine_topk(emb, emb.filter(F.col("vec_id") % 100 == 0),
+                             k=3, n_lists=4, n_probe=2)),
+    ))
+
+    from graph_mining_spark.operators.parline import affinity_hierarchy_paths
+
+    sections.append((
+        "parline hierarchy paths (final composition)",
+        "the per-level loop contracts a geometrically shrinking cluster "
+        "graph (target size 2 halves it per level); each level is the "
+        "proven affinity round plus one SUM contraction groupBy; the paths "
+        "table is vertex-sized with an array column growing one element per "
+        "level (~log2 n depth).  localCheckpoints cut per-level lineage, so "
+        "the final plan reads checkpointed RDDs, not the whole loop.",
+        plan(affinity_hierarchy_paths(nations_edges(spark, SF))),
+    ))
+
+    from graph_mining_spark.operators.minla import _two_phase_rank
+
+    verts = sym.select(F.col("src").alias("vid")).distinct().select(
+        "vid", (F.col("vid") % 97).cast("double").alias("location")
+    )
+    sections.append((
+        "minla two-phase ranking (init AND final ordering)",
+        "NO single-partition Exchange anywhere (round-3 verdict finding #1 "
+        "fixed): minla's initial identity placement and its final ordering "
+        "both use this plan — Exchange rangepartitioning by the sort key, "
+        "per-partition row_number window keyed by the partition id, and a "
+        "BroadcastHashJoin against the (partition → offset) table.  The L1 "
+        "median additionally routes hub nodes (degree > "
+        "hub_degree_threshold) to a join-only weighted-mean aggregate "
+        "instead of a degree-sized collected row (finding #2 fixed).",
+        plan(_two_phase_rank(verts, ["location", "vid"], 8, cut=False)),
+    ))
+
     out = ["# EXPLAIN audit — physical plans of the key operators",
            "",
            "Generated by scripts/explain_audit.py (planning only).  Each",
@@ -109,6 +167,8 @@ def main() -> None:
         f.write("\n".join(out))
     bad = [t for t, _, p in sections if "BatchEvalPython" in p]
     print("wrote EXPLAIN.md;", "PYTHON-IN-PLAN:" + str(bad) if bad else "no per-row Python in any plan")
+    single = [t for t, _, p in sections if "SinglePartition" in p]
+    print("single-partition exchanges:", single or "none")
 
 
 if __name__ == "__main__":
