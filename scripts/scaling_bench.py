@@ -35,7 +35,11 @@ CC_CAP = 12
 TRI_VERT = 1 << 19
 TRI_EDGES = 4_000_000
 SALT_THRESHOLD = 500_000
-LEVEL_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+# N=1 vs 4N=4 is the documented methodology (BENCH/BASELINE.md "Why
+# N=1 and 4N=4"): the host saturates ~10-14 effective cores, so 2v8
+# already grades the hypervisor — its pure-shuffle calibration ceiling
+# measured 0.637 (2026-08-17), below the 0.8 gate for ANY job.
+LEVEL_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 LEVEL_4N = int(os.environ.get("SPARK_GRAFT_SCALE_4N", str(4 * LEVEL_N)))
 
 
