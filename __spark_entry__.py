@@ -26,12 +26,20 @@ from pyspark.sql import functions as F
 from graph_mining_spark.functions.ann import cosine_topk, lsh_cosine_topk
 from graph_mining_spark.functions.dedup import (
     dedup_exact,
+    embedding_near_dup_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
 )
-from graph_mining_spark.functions.text import language_id, text_fingerprint, text_stats, token_counts
+from graph_mining_spark.functions.text import (
+    QUALITY_STOPWORDS,
+    language_id,
+    quality_scores,
+    text_fingerprint,
+    text_stats,
+    token_counts,
+)
 from graph_mining_spark.graph import degrees, sparsify_top_k, symmetrize, vertex_ids
 from graph_mining_spark.ingest import build_link_graph, synthesize_source_files
 from graph_mining_spark.operators.affinity import (
@@ -531,11 +539,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # -- training-data pipeline: dedup / text / similarity --
     q["dedup_exact_documents"] = lambda s, d: dedup_exact(_docs(s, d))
-    q["text_stats_documents"] = lambda s, d: text_stats(_docs(s, d)).select(
-        "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "n_spaces", "n_digits", "avg_token_len",
-    )
+
+    # text_stats + quality_scores (Gopher-style ratios + combined
+    # score) in one slot — both fully oracle-gated
+    def _text_stats(s, d):
+        stats = text_stats(_docs(s, d)).select(
+            "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_spaces", "n_digits", "avg_token_len",
+        )
+        return stats.join(quality_scores(_docs(s, d)), "doc_id")
+
+    q["text_stats_documents"] = _text_stats
     q["token_counts_documents"] = lambda s, d: token_counts(_docs(s, d)).select(
         "doc_id", F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
         F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
@@ -545,9 +560,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["minhash_documents"] = lambda s, d: minhash_signatures(_docs(s, d)).select(
         "doc_id", F.col("seed").cast("long").alias("seed"), "minhash"
     )
-    q["ngram_jaccard_documents"] = lambda s, d: ngram_jaccard_pairs(
-        _docs(s, d), n=3, threshold=0.2, block_col="lang"
-    )
+    # near-duplicate PAIRS, both families in one tagged slot: word-
+    # n-gram Jaccard over documents AND embedding-cosine over the
+    # embeddings table (exact all-pairs path — the oracle baseline;
+    # the LSH-bucketed scale path is recall-gated in pytest).  The
+    # synthetic embeddings are isotropic (max pairwise cosine ≈ 0.51),
+    # so the demo threshold sits at the distribution's tail.
+    def _near_dup(s, d):
+        jac = ngram_jaccard_pairs(_docs(s, d), n=3, threshold=0.2, block_col="lang").select(
+            F.lit("ngram_jaccard").alias("variant"),
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b"),
+            F.col("jaccard").alias("similarity"),
+        )
+        emb = s.read.parquet(f"{d}/embeddings.parquet")
+        cos = embedding_near_dup_pairs(emb, threshold=0.4).select(
+            F.lit("embedding_cosine").alias("variant"), "a", "b",
+            F.col("cosine").alias("similarity"),
+        )
+        return jac.unionByName(cos)
+
+    q["near_dup_pairs"] = _near_dup
     q["simhash_documents"] = lambda s, d: simhash(_docs(s, d))
     q["lsh_pairs_documents"] = lambda s, d: lsh_candidate_pairs(
         minhash_signatures(_docs(s, d)), num_hashes=8, bands=4
@@ -651,7 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correlation_objective_mod7_bipartite",
         "linkgraph_pipeline", "dedup_exact_documents", "text_stats_documents",
         "token_counts_documents", "lang_id_documents", "fingerprint_documents",
-        "minhash_documents", "ngram_jaccard_documents", "simhash_documents",
+        "minhash_documents", "near_dup_pairs", "simhash_documents",
         "lsh_pairs_documents", "ann_cosine_top3", "ann_lsh_top3",
         "relational_q1", "topk_orders_per_customer", "events_hourly",
         # rows-only, pytest-gated (10)
@@ -901,15 +933,42 @@ def oracle_sql() -> dict[str, str]:
       FROM documents
     """
 
-    o["text_stats_documents"] = r"""
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS) + "]"
+    o["text_stats_documents"] = rf"""
+      WITH q AS (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+                           _qt -> _qt <> '') AS toks,
+               length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')) AS n_punct,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+               length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+        FROM documents
+      ),
+      q2 AS (
+        SELECT *,
+               greatest(n_chars, 1) AS safe_chars,
+               greatest(len(toks), 1) AS safe_tok,
+               len(list_filter(toks, _qs -> list_contains({stop_sql}, _qs))) AS n_stop,
+               list_sum(list_transform(toks, _qx -> length(_qx))) AS tok_chars
+        FROM q
+      )
       SELECT doc_id,
              CAST(length(text) AS BIGINT) AS n_chars,
              CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
              CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
-             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+             CAST(n_digit AS BIGINT) AS n_digits,
              round(length(replace(text, ' ', '')) * 1.0
-                   / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len
-      FROM documents
+                   / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len,
+             round(n_punct * 1.0 / safe_chars, 6) AS punct_ratio,
+             round(n_digit * 1.0 / safe_chars, 6) AS digit_ratio,
+             round(n_upper * 1.0 / safe_chars, 6) AS upper_ratio,
+             round(n_stop * 1.0 / safe_tok, 6) AS stopword_ratio,
+             round(COALESCE(tok_chars, 0) * 1.0 / safe_tok, 6) AS mean_token_len,
+             round(least(n_stop * 2.0 / safe_tok, 1.0) * 0.4
+                   + (1.0 - least(n_punct * 4.0 / safe_chars, 1.0)) * 0.3
+                   + (1.0 - least(n_digit * 4.0 / safe_chars, 1.0)) * 0.3, 6) AS quality_score
+      FROM q2
     """
 
     o["token_counts_documents"] = r"""
@@ -957,7 +1016,7 @@ def oracle_sql() -> dict[str, str]:
       FROM sh, seeds GROUP BY 1, 2
     """
 
-    o["ngram_jaccard_documents"] = r"""
+    o["near_dup_pairs"] = r"""
       WITH toks AS (
         SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
       ),
@@ -974,11 +1033,19 @@ def oracle_sql() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.sh = b.sh AND a.lang = b.lang AND a.doc_id < b.doc_id
         GROUP BY 1, 2
       )
-      SELECT doc_a, doc_b, round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+      SELECT 'ngram_jaccard' AS variant, doc_a AS a, doc_b AS b,
+             round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS similarity
       FROM inter
       JOIN sizes sa ON doc_a = sa.doc_id
       JOIN sizes sb ON doc_b = sb.doc_id
       WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 6) >= 0.2
+      UNION ALL
+      SELECT 'embedding_cosine' AS variant, a, b, similarity FROM (
+        SELECT ea.vec_id AS a, eb.vec_id AS b,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 4) AS similarity
+        FROM embeddings ea JOIN embeddings eb ON ea.vec_id < eb.vec_id
+      ) WHERE similarity >= 0.4
     """
 
     o["ann_cosine_top3"] = """

@@ -202,3 +202,62 @@ def hamming_near_pairs(
         .filter(F.col("hamming") <= max_distance)
         .distinct()
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 4,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the third near-dup
+    family next to MinHash-LSH (token Jaccard) and SimHash (Hamming):
+    semantic duplicates via dense-embedding cosine ≥ ``threshold``.
+    Output (a, b, cosine) with a < b.
+
+    ``n_planes=None`` — EXACT all-pairs (cross join): quadratic, the
+    oracle baseline and the right tool inside small blocks.
+
+    ``n_planes=k`` — the 100 TB path: hyperplane-LSH bucketing over
+    ``n_tables`` independent tables (Indyk–Motwani OR-construction,
+    same ``_hyperplane_bits`` signatures as :mod:`functions.ann`);
+    candidates are in-bucket pairs only, scored with the exact cosine
+    (precision 1.0 — only recall is approximate; the recall gate on a
+    clustered fixture is tests/test_functions.py).  Pairs colliding in
+    several tables dedupe on three scalars after scoring, so the
+    distinct shuffle never carries dim-sized vectors.
+    """
+    from graph_mining_spark.functions.ann import _dot, _hyperplane_bits, _norm
+
+    base = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if n_planes is None:
+        a = base.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+        b = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    else:
+        tables = F.array(*[
+            F.struct(
+                F.lit(t).alias("t"),
+                _hyperplane_bits("_v", n_planes, plane_offset=t * n_planes).alias("bkt"),
+            )
+            for t in range(n_tables)
+        ])
+        tabbed = base.select("_id", "_v", F.explode(tables).alias("_tb")).select(
+            "_id", "_v", F.col("_tb.t").alias("t"), F.col("_tb.bkt").alias("bkt")
+        )
+        a = tabbed.select("t", "bkt", F.col("_id").alias("a"), F.col("_v").alias("_va"))
+        b = tabbed.select("t", "bkt", F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+        pairs = a.join(b, ["t", "bkt"]).filter(F.col("a") < F.col("b"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    out = pairs.select("a", "b", cos.alias("cosine"))
+    if round_to is not None:
+        out = out.withColumn("cosine", F.round("cosine", round_to))
+    out = out.filter(F.col("cosine") >= threshold)
+    if n_planes is not None:
+        out = out.distinct()  # same pair from several tables
+    return out

@@ -277,3 +277,86 @@ def test_decode_image_bmp_ppm_roundtrip(spark):
         assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
         got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, 3)
         np.testing.assert_array_equal(got, img)
+
+
+def test_quality_scores(spark):
+    from graph_mining_spark.functions.text import quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            (0, "The cat is on the mat."),
+            (1, "1234 5678 !!!"),
+            (2, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in quality_scores(docs).collect()}
+    # doc 0: 22 chars, 1 punct ('.'), 0 digits, 1 upper ('T');
+    # tokens = [the,cat,is,on,the,mat] -> stopwords {the,is,on,the} = 4/6
+    r = out[0]
+    assert r["punct_ratio"] == round(1 / 22, 6)
+    assert r["digit_ratio"] == 0.0
+    assert r["upper_ratio"] == round(1 / 22, 6)
+    assert r["stopword_ratio"] == round(4 / 6, 6)
+    assert r["mean_token_len"] == round((3 + 3 + 2 + 2 + 3 + 3) / 6, 6)
+    # doc 1: digits and punctuation dominate -> low quality
+    assert out[1]["quality_score"] < out[0]["quality_score"]
+    assert out[1]["stopword_ratio"] == 0.0
+    # doc 2: single token, no division blowups
+    assert out[2]["punct_ratio"] == 0.0 and out[2]["mean_token_len"] == 1.0
+
+
+def _clustered_vectors(n_clusters=8, per_cluster=12, dim=16, noise=0.06, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            v = centers[c] + noise * rng.randn(dim)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return rows
+
+
+def test_embedding_near_dup_exact_matches_numpy(spark):
+    import numpy as np
+
+    from graph_mining_spark.functions.dedup import embedding_near_dup_pairs
+
+    rows = _clustered_vectors(n_clusters=4, per_cluster=6)
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.9
+    got = {
+        (r["a"], r["b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, thr).collect()
+    }
+    V = np.array([v for _, v in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    want = {
+        (i, j): round(float(S[i, j]), 4)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if round(float(S[i, j]), 4) >= thr
+    }
+    assert got == want and len(want) > 10
+
+
+def test_embedding_near_dup_lsh_recall_and_precision(spark):
+    from graph_mining_spark.functions.dedup import embedding_near_dup_pairs
+
+    rows = _clustered_vectors()
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    thr = 0.9
+    exact = {(r["a"], r["b"]) for r in embedding_near_dup_pairs(emb, thr).collect()}
+    assert len(exact) > 50
+    approx_rows = embedding_near_dup_pairs(emb, thr, n_planes=6, n_tables=6).collect()
+    approx = {(r["a"], r["b"]) for r in approx_rows}
+    assert approx <= exact, "exact-cosine filter means precision 1.0"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f}"
+    assert len(approx_rows) == len(approx), "pairs deduped across tables"
