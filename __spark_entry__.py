@@ -634,19 +634,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["topk_orders_per_customer"] = _topk
 
     # batch side of the streaming surface: the SAME hourly_event_rollup
-    # used by the Structured Streaming path (batch/stream parity is
-    # pytest-gated in tests/test_streaming.py; this row hash-gates the
-    # shared expression tree against DuckDB)
+    # AND gap-based sessionize_events used by the Structured Streaming
+    # path (batch/stream parity incl. the applyInPandasWithState
+    # stateful operator is pytest-gated in tests/test_streaming.py;
+    # this tagged slot hash-gates both shared expression trees against
+    # DuckDB)
     def _events(s, d):
-        from graph_mining_spark.streaming import hourly_event_rollup
+        from graph_mining_spark.streaming import hourly_event_rollup, sessionize_events
 
         ev = s.read.parquet(f"{d}/events.parquet")
-        return hourly_event_rollup(ev).select(
-            F.col("hour").cast("string").alias("hour"), "event_type",
+        hourly = hourly_event_rollup(ev).select(
+            F.lit("hourly").alias("variant"),
+            F.col("hour").cast("string").alias("k1"),
+            F.col("event_type").alias("k2"),
+            F.lit(None).cast("string").alias("k3"),
             F.col("n").cast("long").alias("n"), F.round("total", 4).alias("total"),
         )
+        sess = sessionize_events(ev, gap_minutes=30).select(
+            F.lit("sessions").alias("variant"),
+            F.col("user_id").cast("string").alias("k1"),
+            F.col("session_start").cast("string").alias("k2"),
+            F.col("session_end").cast("string").alias("k3"),
+            F.col("n_events").cast("long").alias("n"),
+            F.round("total_value", 4).alias("total"),
+        )
+        return hourly.unionByName(sess)
 
-    q["events_hourly"] = _events
+    q["events_hourly_sessions"] = _events
 
     # IVF coarse-cell ANN (second scale path next to LSH) — k-means
     # centroids have no SQL twin; recall/determinism gated in
@@ -685,7 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_documents", "lang_id_documents", "fingerprint_documents",
         "minhash_documents", "near_dup_pairs", "simhash_documents",
         "lsh_pairs_documents", "ann_cosine_top3", "ann_lsh_top3",
-        "relational_q1", "topk_orders_per_customer", "events_hourly",
+        "relational_q1", "topk_orders_per_customer", "events_hourly_sessions",
         # rows-only, pytest-gated (10)
         "clique_aggregator_coparts", "parline_coparts", "terahac_nations",
         "hac_labels_nations", "louvain_modularity_labels",
@@ -1084,10 +1098,36 @@ def oracle_sql() -> dict[str, str]:
       FROM ranked WHERE r <= 3
     """
 
-    o["events_hourly"] = """
-      SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+    o["events_hourly_sessions"] = """
+      SELECT 'hourly' AS variant,
+             CAST(date_trunc('hour', ts) AS VARCHAR) AS k1, event_type AS k2,
+             CAST(NULL AS VARCHAR) AS k3,
              CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
-      FROM events GROUP BY 1, 2
+      FROM events GROUP BY 2, 3
+      UNION ALL
+      SELECT 'sessions', k1, k2, k3, n, total FROM (
+        WITH l AS (
+          SELECT user_id, ts, event_id, value,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        marked AS (
+          SELECT *, CASE WHEN prev IS NULL
+                           OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                         THEN 1 ELSE 0 END AS new_s
+          FROM l
+        ),
+        sess AS (
+          SELECT *, sum(new_s) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked
+        )
+        SELECT CAST(user_id AS VARCHAR) AS k1,
+               CAST(min(ts) AS VARCHAR) AS k2, CAST(max(ts) AS VARCHAR) AS k3,
+               CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS total
+        FROM sess GROUP BY user_id, sid
+      )
     """
 
     # -- fixpoint CC on the full bipartite graph: recursive hash-to-min.

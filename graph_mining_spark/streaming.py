@@ -41,3 +41,129 @@ def streaming_document_stats(docs: DataFrame) -> DataFrame:
     from graph_mining_spark.functions.text import text_stats
 
     return text_stats(docs)
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch gap-based sessionization: per user, events closer than
+    ``gap_minutes`` chain into one session.  Output one row per session
+    (user_id, session_start, session_end, n_events, total_value).
+
+    This is the SQL-expressible batch twin of
+    :func:`sessionize_events_stream` — stream/batch parity is asserted
+    in tests/test_streaming.py.  The per-user window partitions by
+    user_id, the natural key at scale (state per user is bounded by
+    that user's events, and the shuffle is one hash exchange).
+    """
+    from pyspark.sql import Window
+
+    gap_us = gap_minutes * 60 * 1_000_000  # microsecond-exact gap math
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    e = (
+        events.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev").isNull()
+                | (F.unix_micros("ts") - F.unix_micros("_prev") > gap_us)
+            ).cast("int"),
+        )
+        .withColumn("_sid", F.sum("_new").over(cum))
+    )
+    return e.groupBy("user_id", "_sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("total_value"),
+    ).drop("_sid")
+
+
+def sessionize_events_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator via ``applyInPandasWithState``
+    (the pattern the engine uses where built-in windowed aggregation
+    can't express the semantics — a session's extent depends on the
+    data itself, not a fixed window grid).
+
+    Per user_id the state holds the one OPEN session as
+    ``(start_epoch, end_epoch, n, total)``.  Each micro-batch merges
+    the user's arriving events (sorted by event time) into the open
+    session, emits every session CLOSED by a gap immediately, keeps the
+    trailing session open, and arms an EVENT-TIME timeout at
+    ``session_end + gap`` — when the watermark passes it, the timed-out
+    callback flushes the session.  Late events beyond the watermark are
+    dropped by the engine (standard watermark semantics).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    e = events
+    if dict(e.dtypes).get("ts") == "timestamp_ntz":
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    e = e.withWatermark("ts", watermark)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        uid = int(key[0])
+
+        def to_row(s0, e0, n0, t0):
+            return pd.DataFrame(
+                [
+                    (
+                        uid,
+                        pd.Timestamp(s0, unit="s"),
+                        pd.Timestamp(e0, unit="s"),
+                        int(n0),
+                        float(t0),
+                    )
+                ],
+                columns=[
+                    "user_id", "session_start", "session_end", "n_events", "total_value",
+                ],
+            )
+
+        if state.hasTimedOut:
+            s0, e0, n0, t0 = state.get
+            state.remove()
+            yield to_row(s0, e0, n0, t0)
+            return
+
+        batch = pd.concat(list(pdfs))
+        if len(batch) == 0:
+            return
+        batch = batch.sort_values(["ts", "event_id"])
+        ts = batch["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+        vals = batch["value"].to_numpy()
+
+        if state.exists:
+            s0, e0, n0, t0 = state.get
+        else:
+            s0 = e0 = float(ts[0])
+            n0, t0 = 0, 0.0
+        for t_ev, v in zip(ts, vals):
+            if t_ev - e0 > gap_s and n0 > 0:
+                yield to_row(s0, e0, n0, t0)
+                s0, n0, t0 = float(t_ev), 0, 0.0
+            e0 = float(t_ev)
+            n0 += 1
+            t0 += float(v)
+        state.update((float(s0), float(e0), int(n0), float(t0)))
+        state.setTimeoutTimestamp(int((e0 + gap_s) * 1000))
+
+    return e.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType="s double, e double, n long, t double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -39,3 +39,76 @@ def test_streaming_matches_batch(spark):
             q.stop()
     assert got == want
     assert len(got) > 0
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """Stateful sessionization (applyInPandasWithState, event-time
+    timeout) must emit exactly the batch twin's sessions once the
+    watermark passes their close; the still-open trailing session is
+    retained in state, not emitted."""
+    import datetime as dt
+
+    from graph_mining_spark.streaming import sessionize_events, sessionize_events_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, uid, val):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", val, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    file1 = [
+        ev(0, 0, 1, 1.0), ev(1, 5, 1, 2.0), ev(2, 10, 1, 3.0),   # session A (user 1)
+        ev(3, 120, 1, 4.0), ev(4, 130, 1, 5.0),                  # session B (user 1)
+        ev(5, 1, 2, 7.0),                                        # session C (user 2)
+    ]
+    # watermark driver: far-future event keeps its own session open but
+    # pushes the watermark past every earlier session's close
+    file2 = [ev(6, 720, 99, 0.0)]
+
+    gap = 30
+    batch = spark.createDataFrame(file1 + file2, schema)
+    want = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], round(r["total_value"], 6)
+        )
+        for r in sessionize_events(batch, gap_minutes=gap).collect()
+        if r["user_id"] != 99  # user 99's session never closes
+    }
+    assert len(want) == 3
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        os.makedirs(f"{tmp}/in")
+        # two files -> two micro-batches (maxFilesPerTrigger=1), so the
+        # second batch's advanced watermark fires the timeouts
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(f"{tmp}/f1")
+        spark.createDataFrame(file2, schema).coalesce(1).write.parquet(f"{tmp}/f2")
+        for i, src in enumerate(("f1", "f2")):
+            part = [f for f in os.listdir(f"{tmp}/{src}") if f.endswith(".parquet")][0]
+            os.rename(f"{tmp}/{src}/{part}", f"{tmp}/in/{i:02d}.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        out = sessionize_events_stream(stream, gap_minutes=gap, watermark="1 minute")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sessions_out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["user_id"], str(r["session_start"])): (
+                    str(r["session_end"]), r["n_events"], round(r["total_value"], 6)
+                )
+                for r in spark.sql("SELECT * FROM sessions_out").collect()
+            }
+        finally:
+            q.stop()
+    assert got == want
