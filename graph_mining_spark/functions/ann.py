@@ -84,6 +84,21 @@ def _hyperplane_bits(vec_sql_col: str, n_planes: int, plane_offset: int = 0):
     return F.expr(" + ".join(terms))
 
 
+def _hyperplane_tables(n_planes: int, n_tables: int, vec_sql_col: str = "_v"):
+    """Array of (table id, bucket) structs over ``n_tables`` independent
+    hyperplane signatures — the shared table-bucketing block for every
+    LSH consumer (lsh_cosine_topk here, embedding_near_dup_pairs in
+    functions/dedup.py), so the pyspark-4.1 unique-lambda-variable
+    workaround lives in exactly one place."""
+    return F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            _hyperplane_bits(vec_sql_col, n_planes, plane_offset=t * n_planes).alias("b"),
+        )
+        for t in range(n_tables)
+    ])
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -103,13 +118,7 @@ def lsh_cosine_topk(
     neighbor only needs ONE disagreeing plane to land elsewhere;
     P(miss) = (1 − p^n_planes)^n_tables decays with tables.  The
     recall gate vs brute force is tests/test_functions.py."""
-    tables = F.array(*[
-        F.struct(
-            F.lit(t).alias("t"),
-            _hyperplane_bits("_v", n_planes, plane_offset=t * n_planes).alias("b"),
-        )
-        for t in range(n_tables)
-    ])
+    tables = _hyperplane_tables(n_planes, n_tables)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_v"))
         .withColumn("_tb", F.explode(tables))

@@ -230,7 +230,7 @@ def embedding_near_dup_pairs(
     several tables dedupe on three scalars after scoring, so the
     distinct shuffle never carries dim-sized vectors.
     """
-    from graph_mining_spark.functions.ann import _dot, _hyperplane_bits, _norm
+    from graph_mining_spark.functions.ann import _dot, _hyperplane_tables, _norm
 
     base = embeddings.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
@@ -240,15 +240,9 @@ def embedding_near_dup_pairs(
         b = base.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
         pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
     else:
-        tables = F.array(*[
-            F.struct(
-                F.lit(t).alias("t"),
-                _hyperplane_bits("_v", n_planes, plane_offset=t * n_planes).alias("bkt"),
-            )
-            for t in range(n_tables)
-        ])
+        tables = _hyperplane_tables(n_planes, n_tables)
         tabbed = base.select("_id", "_v", F.explode(tables).alias("_tb")).select(
-            "_id", "_v", F.col("_tb.t").alias("t"), F.col("_tb.bkt").alias("bkt")
+            "_id", "_v", F.col("_tb.t").alias("t"), F.col("_tb.b").alias("bkt")
         )
         a = tabbed.select("t", "bkt", F.col("_id").alias("a"), F.col("_v").alias("_va"))
         b = tabbed.select("t", "bkt", F.col("_id").alias("b"), F.col("_v").alias("_vb"))
@@ -257,7 +251,10 @@ def embedding_near_dup_pairs(
     out = pairs.select("a", "b", cos.alias("cosine"))
     if round_to is not None:
         out = out.withColumn("cosine", F.round("cosine", round_to))
-    out = out.filter(F.col("cosine") >= threshold)
+    # NaN guard: a zero-norm embedding (padding / failed encode) gives
+    # cosine NaN, and Spark sorts NaN ABOVE every number — without the
+    # isnan filter it would pair with everything
+    out = out.filter((~F.isnan("cosine")) & (F.col("cosine") >= threshold))
     if n_planes is not None:
         out = out.distinct()  # same pair from several tables
     return out

@@ -339,18 +339,22 @@ def k_core_presplit(
     cur = cut_lineage(
         symmetrize(e.withColumn("weight", F.lit(1.0))).select("src", "dst").distinct()
     )
-    n_prev = cur.select("src").distinct().count()
+    n_prev = None
     for _ in range(max_iterations):
+        # the kept-vertex count from the degree aggregate IS the
+        # fixpoint test — no separate distinct-count job per round
         deg = cur.groupBy("src").agg(F.count("*").alias("_d"))
-        keep = deg.filter(F.col("_d") >= k).select("src")
+        keep = deg.filter(F.col("_d") >= k).select("src").persist()
+        n_now = keep.count()
+        if n_now == n_prev:
+            keep.unpersist()
+            break
+        n_prev = n_now
         cur = cut_lineage(
             cur.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
         )
-        n_now = cur.select("src").distinct().count()
-        if n_now == n_prev:
-            break
-        n_prev = n_now
+        keep.unpersist()
     return cur
 
 

@@ -328,16 +328,23 @@ class DynamicHac:
         new_labels = newlab_full.select("vid", "label", F.col("label").alias("comp"))
 
         # ---- rebuild dendrogram rows (participation-lag parent array,
-        # same construction as terahac's builder) ----
+        # same construction as terahac's builder).  Internal-id
+        # assignment uses the two-phase range-partition ranking — a
+        # first insert or a large cascade makes every vertex dirty, so
+        # a single-partition window here would be exactly the
+        # giant-component straggler this mode exists to avoid. ----
         from pyspark.sql import Window
+
+        from graph_mining_spark.operators.minla import _two_phase_rank
 
         m = kout.filter(F.col("vid") != F.col("label")).select(
             "part", "seq", F.col("vid").alias("gone"), "into", "sim",
             F.col("label").alias("_root"),
         )
         base = self._next_internal
-        w_ids = Window.partitionBy(F.lit(1)).orderBy("part", "seq")
-        m = cut_lineage(m.withColumn("pid", F.row_number().over(w_ids) + F.lit(base) - 1))
+        m = _two_phase_rank(m, ["part", "seq"], 32).withColumn(
+            "pid", F.col("_rank") + F.lit(base)
+        ).drop("_rank")
         n_new = int(m.count())
         self._next_internal = base + n_new
         partic = m.select(

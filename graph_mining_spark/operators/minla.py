@@ -80,7 +80,9 @@ def _two_phase_rank(df: DataFrame, order_cols: list, partitions: int, cut: bool 
     )
     if cut:
         out = cut_lineage(out)
-        keyed.unpersist()
+    # the cut path has materialized through the checkpoint; the uncut
+    # (plan-audit) path only needs the plan — release the cache in both
+    keyed.unpersist()
     return out
 
 

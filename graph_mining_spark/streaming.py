@@ -95,17 +95,22 @@ def sessionize_events_stream(
     data itself, not a fixed window grid).
 
     Per user_id the state holds the one OPEN session as
-    ``(start_epoch, end_epoch, n, total)``.  Each micro-batch merges
-    the user's arriving events (sorted by event time) into the open
-    session, emits every session CLOSED by a gap immediately, keeps the
-    trailing session open, and arms an EVENT-TIME timeout at
-    ``session_end + gap`` — when the watermark passes it, the timed-out
-    callback flushes the session.  Late events beyond the watermark are
-    dropped by the engine (standard watermark semantics).
+    ``(start_us, end_us, n, total)`` — INTEGER microseconds end to end,
+    matching the batch twin's ``unix_micros`` gap math exactly.  Each
+    micro-batch treats the open session as an interval and gap-merges
+    it with the batch's events in event-time order (so late
+    watermark-admitted events that land before or inside the open
+    session extend/merge it instead of corrupting its bounds), emits
+    every interval closed by a gap immediately, keeps the LAST interval
+    open, and arms an EVENT-TIME timeout at ``session_end + gap`` —
+    when the watermark passes it, the timed-out callback flushes the
+    session.  Late events beyond the watermark are dropped by the
+    engine; an interval emitted early because a same-batch later event
+    closed its gap is final under those same watermark semantics.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    gap_s = gap_minutes * 60
+    gap_us = gap_minutes * 60 * 1_000_000
     e = events
     if dict(e.dtypes).get("ts") == "timestamp_ntz":
         e = e.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -121,8 +126,8 @@ def sessionize_events_stream(
                 [
                     (
                         uid,
-                        pd.Timestamp(s0, unit="s"),
-                        pd.Timestamp(e0, unit="s"),
+                        pd.Timestamp(s0, unit="us"),
+                        pd.Timestamp(e0, unit="us"),
                         int(n0),
                         float(t0),
                     )
@@ -142,28 +147,30 @@ def sessionize_events_stream(
         if len(batch) == 0:
             return
         batch = batch.sort_values(["ts", "event_id"])
-        ts = batch["ts"].astype("int64").to_numpy() / 1e9  # epoch seconds
+        ts = (batch["ts"].astype("int64") // 1000).to_numpy()  # epoch µs
         vals = batch["value"].to_numpy()
 
+        # intervals in start order: the open session (if any) slots in
+        # among the batch's events; standard gap-merge over the stream
+        items = [(int(t), int(t), 1, float(v)) for t, v in zip(ts, vals)]
         if state.exists:
             s0, e0, n0, t0 = state.get
-        else:
-            s0 = e0 = float(ts[0])
-            n0, t0 = 0, 0.0
-        for t_ev, v in zip(ts, vals):
-            if t_ev - e0 > gap_s and n0 > 0:
-                yield to_row(s0, e0, n0, t0)
-                s0, n0, t0 = float(t_ev), 0, 0.0
-            e0 = float(t_ev)
-            n0 += 1
-            t0 += float(v)
-        state.update((float(s0), float(e0), int(n0), float(t0)))
-        state.setTimeoutTimestamp(int((e0 + gap_s) * 1000))
+            items.append((int(s0), int(e0), int(n0), float(t0)))
+            items.sort(key=lambda it: (it[0], it[1]))
+        cur = items[0]
+        for nxt in items[1:]:
+            if nxt[0] - cur[1] > gap_us:
+                yield to_row(*cur)
+                cur = nxt
+            else:
+                cur = (cur[0], max(cur[1], nxt[1]), cur[2] + nxt[2], cur[3] + nxt[3])
+        state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
 
     return e.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
-        stateStructType="s double, e double, n long, t double",
+        stateStructType="s long, e long, n long, t double",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

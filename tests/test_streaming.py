@@ -112,3 +112,67 @@ def test_sessionize_stream_matches_batch(spark):
         finally:
             q.stop()
     assert got == want
+
+
+def test_sessionize_stream_late_event_merges(spark):
+    """A watermark-admitted LATE event arriving in a later micro-batch
+    that lands inside the open session must merge into it (not corrupt
+    its bounds): final emitted session == batch twin over all events."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from graph_mining_spark.streaming import sessionize_events, sessionize_events_stream
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, minutes, uid, val):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, "click", val, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    file1 = [ev(0, 0, 1, 1.0), ev(1, 10, 1, 2.0)]
+    # late event at minute 5 (inside the open session) + a far-future
+    # watermark driver that flushes user 1's session via timeout
+    file2 = [ev(2, 5, 1, 4.0), ev(3, 600, 99, 0.0)]
+
+    batch = spark.createDataFrame(file1 + file2, schema)
+    want = {
+        (r["user_id"], str(r["session_start"])): (
+            str(r["session_end"]), r["n_events"], round(r["total_value"], 6)
+        )
+        for r in sessionize_events(batch, gap_minutes=30).collect()
+        if r["user_id"] != 99
+    }
+    assert want == {(1, "2024-01-01 00:00:00"): ("2024-01-01 00:10:00", 3, 7.0)}
+
+    with tempfile.TemporaryDirectory() as tmp:
+        os.makedirs(f"{tmp}/in")
+        spark.createDataFrame(file1, schema).coalesce(1).write.parquet(f"{tmp}/f1")
+        spark.createDataFrame(file2, schema).coalesce(1).write.parquet(f"{tmp}/f2")
+        for i, src in enumerate(("f1", "f2")):
+            part = [f for f in os.listdir(f"{tmp}/{src}") if f.endswith(".parquet")][0]
+            os.rename(f"{tmp}/{src}/{part}", f"{tmp}/in/{i:02d}.parquet")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/in")
+        )
+        out = sessionize_events_stream(stream, gap_minutes=30, watermark="3 hours")
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("sessions_late_out")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["user_id"], str(r["session_start"])): (
+                    str(r["session_end"]), r["n_events"], round(r["total_value"], 6)
+                )
+                for r in spark.sql("SELECT * FROM sessions_late_out").collect()
+            }
+        finally:
+            q.stop()
+    assert got == want
