@@ -29,10 +29,17 @@ shape the paper runs on a cluster, expressed Spark-natively:
     4. apply merges globally (cluster = min member vid), contract, and
        carry each cluster's mm to the next round.
 
-  The reference picks good edges from a bucketed priority queue; any
-  good edge preserves the (1+ε) guarantee — we take the minimum
-  goodness with a deterministic (goodness, u, v) tie-break so results
-  are reproducible.  The reference salts its partitioner by round; we
+  The reference picks good edges from a bucketed priority queue; ANY
+  good edge preserves the (1+ε) guarantee.  The kernel exploits that
+  with batched NumPy matching rounds (see `_subgraph_hac_kernel`):
+  each round merges the deterministic mutual-minimum matching of good
+  edges — valid because average linkage is reducible, so a good edge
+  stays good after any disjoint merge — and a sequential
+  global-minimum heap finishes the tail.  At ~1e5 kernel edges/s a
+  cap-full partition (default 2^20 nodes, a few×10^6 edges) costs on
+  the order of a minute of kernel time — the wall-time envelope the
+  reference's cap (terahac.cc:84: max(n/100, 1e6)) implies.  The
+  reference salts its partitioner by round; we
   instead DOUBLE the partition cap whenever a round makes no merges
   (a mutual-best pair split across partitions can stall; growing the
   cap guarantees progress and terminates at exact subgraph HAC).
