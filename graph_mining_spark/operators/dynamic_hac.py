@@ -68,6 +68,7 @@ from pyspark.sql import functions as F
 from graph_mining_spark.checkpoint import cut_lineage
 from graph_mining_spark.operators.connected_components import connected_components
 from graph_mining_spark.operators.hac import ParHacConfig, flatten_dendrogram, parhac
+from graph_mining_spark.operators.minla import _rank_partitions, _two_phase_rank
 
 
 @dataclass
@@ -335,17 +336,15 @@ class DynamicHac:
         # giant-component straggler this mode exists to avoid. ----
         from pyspark.sql import Window
 
-        from graph_mining_spark.operators.minla import _two_phase_rank
-
         m = kout.filter(F.col("vid") != F.col("label")).select(
             "part", "seq", F.col("vid").alias("gone"), "into", "sim",
             F.col("label").alias("_root"),
         )
         base = self._next_internal
-        m = _two_phase_rank(m, ["part", "seq"], 32).withColumn(
-            "pid", F.col("_rank") + F.lit(base)
-        ).drop("_rank")
-        n_new = int(m.count())
+        m, n_new = _two_phase_rank(
+            m, ["part", "seq"], _rank_partitions(self.spark), return_count=True
+        )
+        m = m.withColumn("pid", F.col("_rank") + F.lit(base)).drop("_rank")
         self._next_internal = base + n_new
         partic = m.select(
             F.col("gone").alias("cluster"), "part", "seq", "pid", "sim", "_root"
@@ -450,18 +449,15 @@ class DynamicHac:
             )
             leaf_ids = comp.select(F.col("vid").alias("node_id"))
             internal_ids = ids.join(leaf_ids, "node_id", "left_anti")
-            from pyspark.sql import Window
-
+            # component-mode rebuilds can touch a vertex-scale id set, so
+            # the remap rank is the two-phase range-partition one; its
+            # offset pass doubles as the allocation count
             base = self._next_internal
-            remap = cut_lineage(
-                internal_ids.withColumn(
-                    "new_id",
-                    F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("node_id"))
-                    + F.lit(base)
-                    - 1,
-                )
+            remap, n_remap = _two_phase_rank(
+                internal_ids, ["node_id"], _rank_partitions(self.spark), return_count=True
             )
-            self._next_internal = base + int(remap.count())
+            remap = remap.withColumn("new_id", F.col("_rank") + F.lit(base)).drop("_rank")
+            self._next_internal = base + n_remap
             d = (
                 dend.join(remap, "node_id", "left")
                 .select(

@@ -40,20 +40,22 @@ Scale shape: edges live distributed keyed by cluster id; each round is
 one max-agg, one per-src window for best picks, a self-join for
 mutuality, and one contraction groupBy — all shuffle-bounded by the
 shrinking cluster graph.  The per-round matched set is cluster-count-
-sized; its id-assignment window is single-partition, which is fine up
-to ~10⁸ merges/round locally (beyond that, zipWithIndex).
+sized; its id assignment uses the two-phase range-partition rank
+(minla._two_phase_rank), so no stage funnels a vertex-scale table
+through a single task.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from graph_mining_spark.checkpoint import cut_lineage
 from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
+from graph_mining_spark.operators.minla import _rank_partitions, _two_phase_rank
 
 
 @dataclass
@@ -122,16 +124,19 @@ def parhac(
             best.join(rev, ["src", "dst"], "left_semi")
             .filter(F.col("src") < F.col("dst"))
         )
-        # assign internal node ids in (sim desc, src asc) order
-        w_ids = Window.partitionBy(F.lit(1)).orderBy(F.col("sim").desc(), F.col("src").asc())
-        obs = Observation()
-        matched = cut_lineage(
-            matched.withColumn("pid", F.row_number().over(w_ids) + F.lit(next_id) - 1)
-            .observe(obs, F.count(F.lit(1)).alias("n_matched"))
+        # assign internal node ids in (sim desc, src asc) order.  The
+        # first rounds can match a vertex-scale set of pairs, so the
+        # rank is the two-phase range-partition one (no single-partition
+        # window); its offset pass doubles as the n_matched count.
+        matched, n_matched = _two_phase_rank(
+            matched,
+            [F.col("sim").desc(), F.col("src").asc()],
+            _rank_partitions(spark),
+            return_count=True,
         )
-        n_matched = int(obs.get["n_matched"] or 0)
         if n_matched == 0:
             break
+        matched = matched.withColumn("pid", F.col("_rank") + F.lit(next_id)).drop("_rank")
         next_id += n_matched
 
         dendro_rows.append(

@@ -54,12 +54,24 @@ class MinlaConfig:
     hub_degree_threshold: int = 65536
 
 
-def _two_phase_rank(df: DataFrame, order_cols: list, partitions: int, cut: bool = True) -> DataFrame:
+def _two_phase_rank(
+    df: DataFrame,
+    order_cols: list,
+    partitions: int,
+    cut: bool = True,
+    return_count: bool = False,
+):
     """0-based global rank of ``df`` by ``order_cols`` without a
     single-partition sort: range-partition by the key, rank inside each
     partition, add broadcast per-partition count offsets.  Returns the
     input columns plus ``_rank``.  ``cut=False`` skips the lineage cut
-    so the EXPLAIN audit can inspect the ranking plan itself."""
+    so the EXPLAIN audit can inspect the ranking plan itself.
+    ``return_count=True`` returns ``(ranked_df, total_rows)`` — the
+    total falls out of the offset pass, so callers that also need the
+    row count (every dendrogram-id builder) save a count() job.
+    ``order_cols`` may contain sort expressions (``F.col(c).desc()``);
+    they are honored by both the range partitioner and the in-partition
+    window, so the global rank follows the requested direction."""
     cols = list(df.columns)
     keyed = (
         df.repartitionByRange(partitions, *order_cols)
@@ -83,7 +95,15 @@ def _two_phase_rank(df: DataFrame, order_cols: list, partitions: int, cut: bool 
     # the cut path has materialized through the checkpoint; the uncut
     # (plan-audit) path only needs the plan — release the cache in both
     keyed.unpersist()
+    if return_count:
+        return out, acc
     return out
+
+
+def _rank_partitions(spark) -> int:
+    """Partition count for `_two_phase_rank` call sites: the session's
+    shuffle parallelism, floored so tiny test sessions still spread."""
+    return max(8, int(spark.conf.get("spark.sql.shuffle.partitions", "32")))
 
 
 def weighted_median_interpolated(values, weights):

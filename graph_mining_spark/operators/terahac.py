@@ -61,6 +61,7 @@ from pyspark.storagelevel import StorageLevel
 from graph_mining_spark.checkpoint import cut_lineage
 from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
 from graph_mining_spark.operators.affinity import AffinityConfig, affinity_cluster
+from graph_mining_spark.operators.minla import _rank_partitions, _two_phase_rank
 from graph_mining_spark.operators.size_constraint import SizeConstraint
 
 
@@ -640,9 +641,10 @@ def terahac(
     # represented `gone` and `into` just before t — i.e. each cluster
     # id's previous internal node (lag over its participation sequence),
     # or the leaf id itself.  Cluster ids are stable min-member vids, so
-    # the participation chain is well-keyed across rounds.  The id-
-    # assignment window is single-partition like parhac's (fine to ~1e8
-    # merges; zipWithIndex beyond).
+    # the participation chain is well-keyed across rounds.  Id
+    # assignment uses the two-phase range-partition rank — the merge
+    # log is vertex-scale (n-1 internal nodes), so a single-partition
+    # window here would be a one-task funnel at 100x.
     n = verts.agg(F.max("vid")).first()[0]
     n = int(n) + 1 if n is not None else 0
     if dendro_logs:
@@ -653,8 +655,11 @@ def terahac(
         dlog = spark.createDataFrame(
             [], "round int, part long, seq long, gone long, into long, sim double"
         )
-    w_ids = Window.partitionBy(F.lit(1)).orderBy("round", "part", "seq")
-    m = dlog.withColumn("pid", F.row_number().over(w_ids) + F.lit(n) - 1)
+    m = (
+        _two_phase_rank(dlog, ["round", "part", "seq"], _rank_partitions(spark))
+        .withColumn("pid", F.col("_rank") + F.lit(n))
+        .drop("_rank")
+    )
     partic = m.select(
         F.col("gone").alias("cluster"), "round", "part", "seq", "pid", "sim"
     ).unionByName(

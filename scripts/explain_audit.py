@@ -156,6 +156,36 @@ def main() -> None:
         plan(_two_phase_rank(verts, ["location", "vid"], 8, cut=False)),
     ))
 
+    # dendrogram-id assignment (parhac / terahac / dynamic HAC): the
+    # merge log is vertex-scale (n-1 internal nodes), ranked by the same
+    # two-phase plan — here audited with parhac's (sim desc, src asc)
+    # sort expressions over a merge-log-shaped table
+    mlog = sym.select(
+        "src", "dst", (F.col("weight") / 2.0).alias("sim")
+    )
+    sections.append((
+        "dendrogram internal-id ranking (parhac/terahac/dynamic-HAC builders)",
+        "round-4 verdict finding #2 fixed: all three dendrogram-id builders "
+        "(hac.py matched-pair ids, terahac.py merge-log ids, dynamic_hac.py "
+        "component-mode remap) route through _two_phase_rank — Exchange "
+        "rangepartitioning on the merge order (desc sort expressions "
+        "honored), per-partition row_number, broadcast offset join; NO "
+        "SinglePartition Exchange for a vertex-scale merge log.",
+        plan(_two_phase_rank(mlog, [F.col("sim").desc(), F.col("src").asc()], 8, cut=False)),
+    ))
+
+    # source-level regression guard: no operator may rank through a
+    # Window.partitionBy(F.lit(1)) except the documented cluster-stats
+    # scalar total (affinity.py, lazy total over the per-cluster agg)
+    import pathlib
+    offenders = []
+    for p in pathlib.Path("graph_mining_spark").rglob("*.py"):
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if "partitionBy(F.lit(1))" in line and p.name != "affinity.py":
+                offenders.append(f"{p}:{i}")
+    if offenders:
+        raise SystemExit(f"single-partition window regression: {offenders}")
+
     out = ["# EXPLAIN audit — physical plans of the key operators",
            "",
            "Generated by scripts/explain_audit.py (planning only).  Each",
