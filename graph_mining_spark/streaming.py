@@ -94,19 +94,22 @@ def sessionize_events_stream(
     can't express the semantics — a session's extent depends on the
     data itself, not a fixed window grid).
 
-    Per user_id the state holds the one OPEN session as
-    ``(start_us, end_us, n, total)`` — INTEGER microseconds end to end,
-    matching the batch twin's ``unix_micros`` gap math exactly.  Each
-    micro-batch treats the open session as an interval and gap-merges
-    it with the batch's events in event-time order (so late
-    watermark-admitted events that land before or inside the open
-    session extend/merge it instead of corrupting its bounds), emits
-    every interval closed by a gap immediately, keeps the LAST interval
-    open, and arms an EVENT-TIME timeout at ``session_end + gap`` —
-    when the watermark passes it, the timed-out callback flushes the
-    session.  Late events beyond the watermark are dropped by the
-    engine; an interval emitted early because a same-batch later event
-    closed its gap is final under those same watermark semantics.
+    Per user_id the state holds ALL not-yet-final sessions as parallel
+    arrays of ``(start_us, end_us, n, total)`` intervals — INTEGER
+    microseconds end to end, matching the batch twin's ``unix_micros``
+    gap math exactly.  Each micro-batch gap-merges the state's
+    intervals with the batch's events in event-time order, then emits
+    ONLY the intervals the watermark has made final: an interval
+    ``[s, e]`` is final exactly when ``watermark > e + gap``, because a
+    watermark-admitted event has ``t >= watermark > e + gap >= s``, so
+    it can neither extend the interval nor bridge into it.  Everything
+    else — including gap-closed intervals the old implementation
+    emitted eagerly — stays buffered in state, and an EVENT-TIME
+    timeout armed at the earliest ``end + gap`` flushes it once the
+    watermark passes.  This is the same only-emit-on-watermark contract
+    as Spark's built-in ``session_window`` append mode, and it holds
+    for ANY watermark delay vs gap combination (the old early emission
+    was only safe when the delay was ≤ the gap).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -121,7 +124,7 @@ def sessionize_events_stream(
 
         uid = int(key[0])
 
-        def to_row(s0, e0, n0, t0):
+        def to_rows(intervals):
             return pd.DataFrame(
                 [
                     (
@@ -131,46 +134,90 @@ def sessionize_events_stream(
                         int(n0),
                         float(t0),
                     )
+                    for (s0, e0, n0, t0) in intervals
                 ],
                 columns=[
                     "user_id", "session_start", "session_end", "n_events", "total_value",
                 ],
             )
 
+        def load_state():
+            if not state.exists:
+                return []
+            ss, es, ns, ts_ = state.get
+            return [
+                (int(a), int(b), int(c), float(d))
+                for a, b, c, d in zip(ss, es, ns, ts_)
+            ]
+
+        def split_final(intervals, wm_ms):
+            # final iff the watermark strictly passed end + gap (same
+            # clock the timeout is armed on, so nothing gets stuck)
+            done = [it for it in intervals if (it[1] + gap_us) // 1000 < wm_ms]
+            live = [it for it in intervals if (it[1] + gap_us) // 1000 >= wm_ms]
+            return done, live
+
+        def store_and_arm(live, wm_ms):
+            if not live:
+                state.remove()
+                return
+            state.update(
+                (
+                    [it[0] for it in live],
+                    [it[1] for it in live],
+                    [it[2] for it in live],
+                    [it[3] for it in live],
+                )
+            )
+            next_ms = min((it[1] + gap_us) // 1000 for it in live)
+            state.setTimeoutTimestamp(max(int(next_ms), int(wm_ms) + 1))
+
+        wm_ms = state.getCurrentWatermarkMs()
+
         if state.hasTimedOut:
-            s0, e0, n0, t0 = state.get
-            state.remove()
-            yield to_row(s0, e0, n0, t0)
+            done, live = split_final(load_state(), wm_ms)
+            store_and_arm(live, wm_ms)
+            if done:
+                yield to_rows(done)
             return
 
         batch = pd.concat(list(pdfs))
         if len(batch) == 0:
             return
         batch = batch.sort_values(["ts", "event_id"])
-        ts = (batch["ts"].astype("int64") // 1000).to_numpy()  # epoch µs
+        # normalize to ns first: Arrow may hand pandas datetime64[us],
+        # whose int64 view would be off by 1000x
+        ts = (
+            batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ).to_numpy()  # epoch µs
         vals = batch["value"].to_numpy()
 
-        # intervals in start order: the open session (if any) slots in
-        # among the batch's events; standard gap-merge over the stream
+        # intervals in start order: buffered sessions slot in among the
+        # batch's events (late watermark-admitted events land inside or
+        # before them and merge); standard gap-merge over the stream
         items = [(int(t), int(t), 1, float(v)) for t, v in zip(ts, vals)]
-        if state.exists:
-            s0, e0, n0, t0 = state.get
-            items.append((int(s0), int(e0), int(n0), float(t0)))
-            items.sort(key=lambda it: (it[0], it[1]))
-        cur = items[0]
+        items.extend(load_state())
+        items.sort(key=lambda it: (it[0], it[1]))
+        merged = [items[0]]
         for nxt in items[1:]:
+            cur = merged[-1]
             if nxt[0] - cur[1] > gap_us:
-                yield to_row(*cur)
-                cur = nxt
+                merged.append(nxt)
             else:
-                cur = (cur[0], max(cur[1], nxt[1]), cur[2] + nxt[2], cur[3] + nxt[3])
-        state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
-        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+                merged[-1] = (
+                    cur[0], max(cur[1], nxt[1]), cur[2] + nxt[2], cur[3] + nxt[3]
+                )
+        done, live = split_final(merged, wm_ms)
+        store_and_arm(live, wm_ms)
+        if done:
+            yield to_rows(done)
 
     return e.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
-        stateStructType="s long, e long, n long, t double",
+        stateStructType=(
+            "ss array<long>, es array<long>, ns array<long>, ts array<double>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
