@@ -229,6 +229,13 @@ def embedding_near_dup_pairs(
     clustered fixture is tests/test_functions.py).  Pairs colliding in
     several tables dedupe on three scalars after scoring, so the
     distinct shuffle never carries dim-sized vectors.
+
+    NOTE: ``threshold`` applies to the ROUNDED cosine when ``round_to``
+    is set (the default): a pair whose true cosine sits within
+    5·10^-(round_to+1) below the threshold is admitted (e.g. 0.39996
+    rounds to 0.4000 ≥ 0.4).  This keeps the emitted ``cosine`` column
+    and the admission decision consistent with each other and with the
+    SQL oracle; pass ``round_to=None`` to filter on the exact value.
     """
     from graph_mining_spark.functions.ann import _dot, _hyperplane_tables, _norm
 

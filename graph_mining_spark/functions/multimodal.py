@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-The container has no image/audio libraries, so the COMPRESSED decode
-paths (JPEG/PNG, video) remain clearly-marked NotImplementedError —
-but decode_image has REAL pure-NumPy decoders for BMP (uncompressed
-BI_RGB) and binary PPM (P6), round-trip-tested through the
-mapInPandas kernel, and the rest of the Spark-side plumbing is real
-and tested: schema, Arrow batch shape, mapInPandas signatures,
-partitioning.  Swapping in PIL/ffmpeg is a local change inside one
+decode_image has REAL pure-NumPy decoders for BMP (uncompressed
+BI_RGB), binary PPM (P6), and PNG (stdlib zlib inflate + per-scanline
+unfiltering; 8-bit gray/RGB/RGBA, non-interlaced), each
+round-trip-tested through the mapInPandas kernel against an in-repo
+encoder twin.  The container has no image/audio libraries, so the
+remaining compressed paths (JPEG/WebP, video) are clearly-marked
+NotImplementedError — the Spark-side plumbing (schema, Arrow batch
+shape, mapInPandas signatures, partitioning, error channel) is real
+and tested, and swapping in PIL/ffmpeg is a local change inside one
 pandas function.
 """
 
@@ -109,6 +111,157 @@ def _decode_bmp(b: bytes):
     return np.ascontiguousarray(px)
 
 
+def encode_png(arr, filter_type=0) -> bytes:
+    """Serialize a (H, W), (H, W, 3), or (H, W, 4) uint8 array as a
+    non-interlaced 8-bit PNG — the test-side twin of the decoder (pure
+    stdlib zlib + NumPy, no imaging library).  ``filter_type`` is the
+    per-scanline filter: an int applied to every row or a length-H
+    sequence, values 0-4 (None/Sub/Up/Average/Paeth) — used by the
+    round-trip tests to exercise every unfilter branch."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w = a.shape[:2]
+    ch = 1 if a.ndim == 2 else a.shape[2]
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    body = a.reshape(h, w * ch).astype(np.int16)
+    ftypes = [int(filter_type)] * h if np.isscalar(filter_type) else [int(f) for f in filter_type]
+    prev = np.zeros(w * ch, dtype=np.int16)
+    stream = bytearray()
+    for y in range(h):
+        cur, f = body[y], ftypes[y]
+        if f == 0:
+            filt = cur
+        elif f == 1:  # Sub: subtract the pixel bpp bytes to the left
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            filt = cur - left
+        elif f == 2:  # Up
+            filt = cur - prev
+        elif f == 3:  # Average
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            filt = cur - ((left + prev) >> 1)
+        elif f == 4:  # Paeth
+            left = np.zeros_like(cur)
+            left[ch:] = cur[:-ch]
+            upleft = np.zeros_like(prev)
+            upleft[ch:] = prev[:-ch]
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            filt = cur - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        stream.append(f)
+        stream.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes):
+    """Non-interlaced 8-bit PNG (gray / RGB / RGBA) → (H, W) or
+    (H, W, C) uint8.  Stdlib ``zlib`` inflates the IDAT stream; the
+    five scanline filters unapply with NumPy per row (Sub is a
+    channel-strided cumsum; Average/Paeth walk pixels within the row —
+    fine for the Arrow-batch image sizes this kernel sees)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if hdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = hdr
+    if depth != 8 or ctype not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only non-interlaced 8-bit gray/RGB/RGBA PNG supported "
+            f"(depth={depth}, color_type={ctype}, interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(raw[y, 0])
+        cur = raw[y, 1:]
+        if f == 0:
+            rec = cur.copy()
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] ⇒ strided cumsum
+            rec = (
+                (np.cumsum(cur.reshape(w, ch).astype(np.int64), axis=0) % 256)
+                .astype(np.uint8)
+                .reshape(stride)
+            )
+        elif f == 2:  # Up (uint8 addition wraps mod 256)
+            rec = cur + prev
+        elif f == 3:  # Average
+            r2 = np.zeros((w, ch), dtype=np.uint8)
+            c2 = cur.reshape(w, ch).astype(np.uint16)
+            p2 = prev.reshape(w, ch).astype(np.uint16)
+            left = np.zeros(ch, dtype=np.uint16)
+            for x in range(w):
+                r2[x] = (c2[x] + ((left + p2[x]) >> 1)) & 0xFF
+                left = r2[x].astype(np.uint16)
+            rec = r2.reshape(stride)
+        elif f == 4:  # Paeth
+            r2 = np.zeros((w, ch), dtype=np.uint8)
+            c2 = cur.reshape(w, ch).astype(np.int32)
+            p2 = prev.reshape(w, ch).astype(np.int32)
+            left = np.zeros(ch, dtype=np.int32)
+            upleft = np.zeros(ch, dtype=np.int32)
+            for x in range(w):
+                up = p2[x]
+                p = left + up - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft))
+                r2[x] = (c2[x] + pred) & 0xFF
+                left = r2[x].astype(np.int32)
+                upleft = up
+            rec = r2.reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    return np.ascontiguousarray(out.reshape(h, w, ch) if ch > 1 else out.reshape(h, w))
+
+
 def _decode_ppm(b: bytes):
     """Binary P6 netpbm (maxval ≤ 255) → (H, W, 3) RGB."""
     import numpy as np
@@ -137,41 +290,65 @@ def _decode_ppm(b: bytes):
     return np.ascontiguousarray(px)
 
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """Decode opaque image blobs to raw RGB pixel buffers.
+DECODED_ERR_SCHEMA = DECODED_SCHEMA + ", error string"
+
+
+def decode_image(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Decode opaque image blobs to raw pixel buffers.
 
     REAL pure-NumPy decode paths (no imaging library needed): BMP
-    (uncompressed 24/32-bit BI_RGB, top-down or bottom-up) and binary
-    PPM (P6).  Compressed formats (JPEG/PNG/WebP) still raise
-    NotImplementedError inside the kernel — libjpeg/PIL are absent in
-    this environment; plugging them in is a local change inside this
-    one pandas function.
+    (uncompressed 24/32-bit BI_RGB, top-down or bottom-up), binary PPM
+    (P6), and PNG (non-interlaced 8-bit gray/RGB/RGBA via stdlib
+    zlib).  JPEG/WebP still raise NotImplementedError inside the
+    kernel — libjpeg/PIL are absent in this environment; plugging them
+    in is a local change inside this one pandas function.
 
-    Output rows: (media_id, width, height, channels=3, pixels binary)
-    with pixels = row-major top-down RGB bytes.
+    ``on_error``: ``"raise"`` (default — one unsupported/corrupt blob
+    fails the job, strictness intended for validated inputs) or
+    ``"null"`` — emit the row with null pixels, zero dims, and the
+    exception text in an extra ``error`` column, so one bad blob
+    cannot kill a 100-TB decode job.
+
+    Output rows: (media_id, width, height, channels, pixels binary)
+    with pixels = row-major top-down bytes (channels 1/3/4 as decoded),
+    plus ``error`` when ``on_error="null"``.
     """
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
+    null_mode = on_error == "null"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                b = bytes(blob)
-                if b[:2] == b"BM":
-                    px = _decode_bmp(b)
-                elif b[:2] == b"P6":
-                    px = _decode_ppm(b)
-                else:
-                    raise NotImplementedError(
-                        f"unsupported image magic {b[:4]!r}: only BMP/PPM decode "
-                        "in this environment (JPEG/PNG need libjpeg/PIL)"
-                    )
-                h, w, _ = px.shape
-                rows.append((int(mid), w, h, 3, px.tobytes()))
-            yield pd.DataFrame(
-                rows, columns=["media_id", "width", "height", "channels", "pixels"]
-            )
+                try:
+                    b = bytes(blob)
+                    if b[:2] == b"BM":
+                        px = _decode_bmp(b)
+                    elif b[:2] == b"P6":
+                        px = _decode_ppm(b)
+                    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                        px = _decode_png(b)
+                    else:
+                        raise NotImplementedError(
+                            f"unsupported image magic {b[:4]!r}: only BMP/PPM/PNG "
+                            "decode in this environment (JPEG needs libjpeg/PIL)"
+                        )
+                except Exception as exc:  # noqa: BLE001 — error-channel mode
+                    if not null_mode:
+                        raise
+                    rows.append((int(mid), 0, 0, 0, None, f"{type(exc).__name__}: {exc}"))
+                    continue
+                h, w = px.shape[:2]
+                ch = 1 if px.ndim == 2 else px.shape[2]
+                row = (int(mid), w, h, ch, px.tobytes())
+                rows.append(row + (None,) if null_mode else row)
+            cols = ["media_id", "width", "height", "channels", "pixels"]
+            if null_mode:
+                cols.append("error")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media.mapInPandas(kernel, schema=DECODED_SCHEMA)
+    return media.mapInPandas(kernel, schema=DECODED_ERR_SCHEMA if null_mode else DECODED_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n: int = 30) -> DataFrame:

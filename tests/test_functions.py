@@ -279,6 +279,65 @@ def test_decode_image_bmp_ppm_roundtrip(spark):
         np.testing.assert_array_equal(got, img)
 
 
+def test_decode_image_png_roundtrip(spark):
+    """PNG decode (stdlib zlib + NumPy unfiltering): every scanline
+    filter (None/Sub/Up/Average/Paeth) and every supported color type
+    (gray/RGB/RGBA) must round-trip bit-exactly through the
+    mapInPandas decode kernel against the in-repo encoder twin."""
+    import numpy as np
+
+    from graph_mining_spark.functions.multimodal import _decode_png, encode_png
+
+    h, w = 11, 14
+    y, x = np.mgrid[0:h, 0:w]
+    rgb = np.stack([(x * 23) % 256, (y * 31) % 256, (x * y) % 256], axis=-1).astype(np.uint8)
+    gray = ((x * 7 + y * 13) % 256).astype(np.uint8)
+    rgba = np.concatenate([rgb, ((x + 2 * y) % 256).astype(np.uint8)[..., None]], axis=-1)
+
+    # kernel-level: each filter type on each color type
+    for img in (gray, rgb, rgba):
+        for f in range(5):
+            np.testing.assert_array_equal(_decode_png(encode_png(img, filter_type=f)), img)
+    # mixed per-row filters (the shape a real encoder emits)
+    mixed = [fi % 5 for fi in range(h)]
+    np.testing.assert_array_equal(_decode_png(encode_png(rgb, filter_type=mixed)), rgb)
+
+    # through the Spark kernel, channels column carries the true count
+    blobs = [(0, encode_png(rgb, filter_type=4), 3), (1, encode_png(rgba, filter_type=2), 4)]
+    media = spark.createDataFrame(
+        [(mid, bytearray(b), "image/png", len(b)) for mid, b, _ in blobs],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    out = {r["media_id"]: r for r in decode_image(media).collect()}
+    for mid, _, ch in blobs:
+        r = out[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, ch)
+        want = rgb if ch == 3 else rgba
+        got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, ch)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_decode_image_error_channel(spark):
+    """on_error='null' isolates bad blobs into an error column instead
+    of failing the whole decode job; good rows still decode."""
+    import numpy as np
+
+    from graph_mining_spark.functions.multimodal import encode_png
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    good = encode_png(img)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(good), "image/png", len(good)),
+            (1, bytearray(b"\xff\xd8\xff\xe0 not-actually-decodable"), "image/jpeg", 27),
+        ],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    out = {r["media_id"]: r for r in decode_image(media, on_error="null").collect()}
+    assert out[0]["error"] is None and out[0]["channels"] == 3
+    assert out[1]["pixels"] is None and "unsupported image magic" in out[1]["error"]
+
+
 def test_quality_scores(spark):
     from graph_mining_spark.functions.text import quality_scores
 
