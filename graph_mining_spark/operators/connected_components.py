@@ -45,12 +45,21 @@ def connected_components(
     ledger: SuperstepLedger | None = None,
     already_symmetric: bool = False,
     resume_from: tuple[int, DataFrame] | None = None,
+    broadcast_threshold: int = 131_072,
 ) -> DataFrame:
     """Return ``(vid: long, label: long)`` with label = min vid per component.
 
     ``vertices`` (optional, one ``vid`` column) adds isolated vertices
     that appear in no edge row; they label as themselves.
     ``resume_from``: (superstep, state) from SuperstepLedger.resume().
+
+    ``broadcast_threshold``: when the CHANGED frontier from the
+    previous superstep is at or below this row count, the frontier
+    joins the edge table by BROADCAST instead of a shuffle join — the
+    frontier size is already known exactly from the superstep's
+    Observation, so the gate is adaptive: big graphs shuffle in the
+    early wide rounds and broadcast the shrinking tail, small graphs
+    broadcast throughout.  Labels are identical either way.
     """
     if already_symmetric:
         sym = edges.select("src", "dst")
@@ -77,6 +86,7 @@ def connected_components(
         labels = verts.select("vid", F.col("vid").alias("label"))
         labels = cut_lineage(labels)
         changed = labels
+    n_changed = None  # unknown until the first Observation lands
 
     from pyspark.sql import Observation
 
@@ -92,8 +102,11 @@ def connected_components(
             # out-of-set endpoint id as a label.
             nbr_min = e.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("nbr_label"))
         else:
+            frontier = changed.withColumnRenamed("vid", "src")
+            if n_changed is not None and n_changed <= broadcast_threshold:
+                frontier = F.broadcast(frontier)
             nbr_min = (
-                e.join(changed.withColumnRenamed("vid", "src"), "src")
+                e.join(frontier, "src")
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.min("label").alias("nbr_label"))
             )
@@ -134,6 +147,73 @@ def connected_components(
 
     e.unpersist()
     return labels
+
+
+def forest_components(
+    best: DataFrame,
+    vertices: DataFrame,
+    max_doublings: int = 64,
+) -> DataFrame:
+    """Components of a BEST-NEIGHBOR pointer forest — the affinity
+    round's inner connectivity (parallel_affinity_internal.cc's forest
+    contraction), specialized from the general CC loop.
+
+    ``best`` holds one out-pointer per active vertex (src → dst, its
+    best neighbor); ``vertices`` (one ``vid`` column) supplies the full
+    active set (pointer-less vertices stay singletons).  Returns
+    ``(vid, label)`` with label = min member vid — identical to
+    ``connected_components(best, vertices=...)``, but exploiting the
+    functional-graph shape:
+
+      1. mutual-best 2-cycles collapse to their min endpoint (the only
+         cycles a deterministic (weight desc, id) best-neighbor
+         selection can produce on a symmetric weight table: on any
+         longer cycle the followed keys would have to strictly
+         increase around it);
+      2. pointer DOUBLING ``p[v] ← p[p[v]]`` — log₂(max tree depth)
+         rounds of one vertex-sized self-join each, never touching an
+         edge table;
+      3. one min-agg + join relabels every tree to its min member vid.
+
+    At 100×: every step is a vertex-sized hash shuffle; the doubling
+    count is ≤ log₂(n) ≈ 30 at 10⁹ vertices.  If an unexpected longer
+    cycle keeps the doubling from converging in ``max_doublings``
+    rounds, falls back to the general CC loop (correct for any input).
+    """
+    from pyspark.sql import Observation
+
+    p0 = best.select(F.col("src").alias("vid"), F.col("dst").alias("p"))
+    verts = vertices.select(F.col("vid").cast("long"))
+    p = verts.join(p0, "vid", "left").select(
+        "vid", F.coalesce("p", F.col("vid")).alias("p")
+    )
+    pp = p.select(F.col("vid").alias("p"), F.col("p").alias("_pp"))
+    p = p.join(pp, "p", "left").select(
+        "vid",
+        F.when(F.col("_pp") == F.col("vid"), F.least("vid", "p"))
+        .otherwise(F.col("p"))
+        .alias("p"),
+    )
+    cur = cut_lineage(p)
+    converged = False
+    for it in range(max_doublings):
+        pp = cur.select(F.col("vid").alias("p"), F.col("p").alias("_pp"))
+        obs = Observation(f"forest_{it}")
+        nxt = (
+            cur.join(pp, "p")
+            .select("vid", F.col("_pp").alias("p"), (F.col("_pp") != F.col("p")).alias("_chg"))
+            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("metric"))
+        )
+        cur = cut_lineage(nxt.select("vid", "p"))
+        if int(obs.get["metric"] or 0) == 0:
+            converged = True
+            break
+    if not converged:
+        return connected_components(
+            best.select("src", "dst"), vertices=verts, already_symmetric=False
+        )
+    mins = cur.groupBy("p").agg(F.min("vid").alias("label"))
+    return cur.join(mins, "p").select("vid", "label")
 
 
 def connected_components_csr(

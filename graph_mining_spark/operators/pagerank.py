@@ -41,6 +41,7 @@ def pagerank(
     ledger: SuperstepLedger | None = None,
     resume_from: tuple[int, DataFrame] | None = None,
     check_every: int = 1,
+    broadcast_threshold: int = 131_072,
 ) -> DataFrame:
     """Return ``(vid: long, rank: double)``.
 
@@ -57,6 +58,19 @@ def pagerank(
     condition stays the reference contract — we halt at an iteration
     whose L1 step-delta < eps, at most ``check_every - 1`` iterations
     later (i.e. more converged) than with per-step checks.
+
+    ``broadcast_threshold``: when the vertex count is at or below it,
+    the rank vector joins the edge table by BROADCAST and the edge
+    table is pre-partitioned by ``dst`` once, so a whole superstep runs
+    with ZERO shuffle exchange (broadcast join preserves the scan's
+    dst-partitioning through the contribution aggregate, and the
+    finalize/L1 joins broadcast their vertex-sized sides too).  The
+    edge table itself stays fully distributed — unlike the CSR fast
+    path, only the vertex VECTOR must fit a broadcast (the same
+    envelope as the reference's dense rank array).  Above the
+    threshold the shuffle-join plan is used — the unbounded 100×
+    path.  Results are identical up to float re-association of the
+    contribution sums.
     """
     if not (0.0 <= damping < 1.0):
         raise ValueError(f"damping must be in [0, 1), got {damping}")
@@ -111,14 +125,22 @@ def pagerank(
     cap = max_iterations if max_iterations is not None else 1_000_000
     batch = check_every if (check_every > 1 and n_dangling == 0) else 1
 
+    use_bcast = n <= broadcast_threshold
+    if use_bcast:
+        # repartition the (already materialized) edge table by dst ONCE:
+        # the per-superstep broadcast join preserves it, so the
+        # contribution groupBy(dst) aggregates without an exchange
+        e2 = e.select("src", "dst").repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+        e2.count()
+        e.unpersist()
+        e = e2
+
     def one_step(cur: DataFrame, dangling_mass: float) -> DataFrame:
+        rank_src = cur.filter(F.col("deg") > 0).select(
+            F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("_c")
+        )
         contribs = (
-            e.join(
-                cur.filter(F.col("deg") > 0).select(
-                    F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("_c")
-                ),
-                "src",
-            )
+            e.join(F.broadcast(rank_src) if use_bcast else rank_src, "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum("_c").alias("_contrib"))
         )
@@ -127,7 +149,9 @@ def pagerank(
             + F.lit(damping)
             * (F.coalesce("_contrib", F.lit(0.0)) + F.lit(float(dangling_mass)) * F.col("p"))
         )
-        return base.join(contribs, "vid", "left").select("vid", new_rank.alias("rank"), "deg", "p")
+        return base.join(
+            F.broadcast(contribs) if use_bcast else contribs, "vid", "left"
+        ).select("vid", new_rank.alias("rank"), "deg", "p")
 
     from pyspark.sql import Observation
 
@@ -144,8 +168,9 @@ def pagerank(
         # L1 + next dangling mass ride the checkpoint materialization
         # (Observation) — ONE Spark job per batch of supersteps
         obs = Observation(f"pr_{it}")
+        prev_ranks = prev_of_last.select("vid", F.col("rank").alias("_prev"))
         staged = (
-            cur.join(prev_of_last.select("vid", F.col("rank").alias("_prev")), "vid")
+            cur.join(F.broadcast(prev_ranks) if use_bcast else prev_ranks, "vid")
             .observe(
                 obs,
                 F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("metric"),

@@ -64,3 +64,57 @@ def test_clusters_output_form(spark):
     e = make_edges(spark, [(0, 1, 1.0), (2, 3, 1.0)])
     rows = {r["label"]: r["members"] for r in components_as_clusters(connected_components(e)).collect()}
     assert rows == {0: [0, 1], 2: [2, 3]}
+
+
+# --- forest_components (affinity's pointer-forest specialization) ---
+
+from graph_mining_spark.operators.connected_components import forest_components
+
+
+def _forest(spark, pointers, vids):
+    best = spark.createDataFrame(pointers, "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in vids], "vid long")
+    return best, verts
+
+
+def test_forest_matches_general_cc_on_chains_and_mutual_pairs(spark):
+    # two trees hanging off mutual-best 2-cycles + a singleton:
+    #   7→5→3→1⇄0←2, 12⇄10←11, 99 isolated
+    pointers = [
+        (7, 5), (5, 3), (3, 1), (1, 0), (0, 1), (2, 0),
+        (12, 10), (10, 12), (11, 10),
+    ]
+    vids = [0, 1, 2, 3, 5, 7, 10, 11, 12, 99]
+    best, verts = _forest(spark, pointers, vids)
+    got = _labels(forest_components(best, verts))
+    want = _labels(
+        connected_components(best.select("src", "dst"), vertices=verts)
+    )
+    assert got == want
+    assert got[99] == 99 and got[7] == 0 and got[11] == 10
+
+
+def test_forest_deep_chain_log_doublings(spark):
+    # a 200-deep pointer chain into a mutual pair converges by doubling
+    n = 200
+    pointers = [(i, i - 1) for i in range(2, n)] + [(0, 1), (1, 0)]
+    best, verts = _forest(spark, pointers, list(range(n)))
+    got = _labels(forest_components(best, verts))
+    assert set(got.values()) == {0} and len(got) == n
+
+
+def test_forest_fallback_on_long_cycle(spark):
+    # a 3-cycle can't occur from deterministic best-neighbor selection,
+    # but the fallback must still label it correctly
+    pointers = [(0, 1), (1, 2), (2, 0), (5, 0)]
+    best, verts = _forest(spark, pointers, [0, 1, 2, 5])
+    got = _labels(forest_components(best, verts, max_doublings=3))
+    assert got == {0: 0, 1: 0, 2: 0, 5: 0}
+
+
+def test_cc_broadcast_tail_matches_shuffle_path(spark):
+    edges = seeded_er_edges(80, 0.04, seed=7)
+    e = make_edges(spark, edges)
+    bcast = _labels(connected_components(e, broadcast_threshold=1 << 20))
+    shuffle = _labels(connected_components(e, broadcast_threshold=0))
+    assert bcast == shuffle

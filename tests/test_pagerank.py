@@ -83,3 +83,16 @@ def test_check_every_batching_matches(spark):
     a = _ranks(pagerank(e, max_iterations=10))
     b = _ranks(pagerank(e, max_iterations=10, check_every=5))
     _assert_close(b, a, atol=1e-12)
+
+
+def test_broadcast_and_shuffle_plans_agree(spark):
+    # the vertex-count-gated broadcast fast path must match the
+    # unbounded shuffle-join plan to float re-association tolerance
+    from tests.oracles import seeded_er_edges
+
+    edges = seeded_er_edges(120, 0.05, seed=21)
+    e = make_edges(spark, edges)
+    b = {r["vid"]: r["rank"] for r in pagerank(e, max_iterations=8, broadcast_threshold=1 << 20).collect()}
+    s = {r["vid"]: r["rank"] for r in pagerank(e, max_iterations=8, broadcast_threshold=0).collect()}
+    assert b.keys() == s.keys()
+    assert all(abs(b[k] - s[k]) < 1e-12 for k in b)
