@@ -39,10 +39,12 @@ shape the paper runs on a cluster, expressed Spark-natively:
   cap-full partition (default 2^20 nodes, a few×10^6 edges) costs on
   the order of a minute of kernel time — the wall-time envelope the
   reference's cap (terahac.cc:84: max(n/100, 1e6)) implies.  The
-  reference salts its partitioner by round; we
-  instead DOUBLE the partition cap whenever a round makes no merges
-  (a mutual-best pair split across partitions can stall; growing the
-  cap guarantees progress and terminates at exact subgraph HAC).
+  reference salts its partitioner by round; on a stalled round we
+  RE-SALT the partitioner (an id-XOR bijection re-rolls every
+  tie-break and split point — a mutual-best pair split across
+  partitions usually reunites at the SAME cap) and DOUBLE the
+  partition cap only when re-salting doesn't help, which guarantees
+  progress and terminates at exact subgraph HAC.
 
 At ε = 0 the goodness rule only admits mutual-best edges, and average
 linkage is reducible, so the result equals exact sequential HAC — the
@@ -292,8 +294,15 @@ def _subgraph_hac_kernel(pdf, epsilon: float, min_merge_sim: float = float("-inf
       2. every node picks its minimum-``(goodness, a, b)`` good edge;
          the round merges the MUTUAL-minimum matching (an edge both of
          whose endpoints picked it) — deterministic, node-disjoint;
-      3. merged pairs contract in one ``np.unique``/``np.bincount``
-         pass and the next round recomputes from the contracted state.
+      3. merged pairs contract and per-edge state refreshes — FULLY
+         (one ``np.unique``/``np.bincount`` pass + recompute) when the
+         round touched most edges, INCREMENTALLY otherwise: only the
+         frontier (edges incident to a merged cluster, plus edges
+         whose endpoint's best changed) is re-deduped and re-scored,
+         merge-inserted into the key-sorted cached arrays.  Both paths
+         produce bit-identical arrays — the frontier dedup sums
+         duplicate weights in the same ascending-previous-key order
+         the full pass would — so results don't depend on the route.
 
     Validity: average linkage is REDUCIBLE — merging clusters x, y
     gives sim(u, x∪y) = (w_ux + w_uy) / (s_u · (s_x + s_y)), a weighted
@@ -308,11 +317,12 @@ def _subgraph_hac_kernel(pdf, epsilon: float, min_merge_sim: float = float("-inf
     (nearest-neighbor-chain argument), so the result still equals
     exact sequential HAC — the parity gates stay green.
 
-    When fewer than ``_TAIL_GOOD_EDGES`` good directed edges remain,
-    the kernel hands the contracted remainder to :func:`_heap_core`
-    (the sequential good-edge heap) — batch rounds would pay an O(E)
-    pass per handful of merges there, and the tiny test fixtures get
-    the exact old sequential behavior.
+    When fewer than ``_TAIL_EDGES`` directed edges REMAIN (not good
+    edges — the heap's entry cost is O(remaining edges) of python
+    dict-building), the kernel hands the contracted remainder to
+    :func:`_heap_core` (the sequential good-edge heap), so tiny test
+    fixtures get the exact old sequential behavior while big subgraphs
+    with a thin good-edge tail stay in the cheap frontier rounds.
 
     Replay gate: test_terahac.py::test_kernel_differential re-applies
     the emitted merge sequence one edge at a time and asserts each
@@ -353,17 +363,31 @@ def _subgraph_hac_kernel(pdf, epsilon: float, min_merge_sim: float = float("-inf
     merges: list = []  # (gone, keep, sim) in sequential-equivalent order
     old_err = np.seterr(divide="ignore", invalid="ignore")
 
+    # Cached per-edge state, maintained INCREMENTALLY: a round only
+    # recomputes sims/goodness for the merge frontier (edges incident
+    # to a merged cluster, plus edges whose endpoint's best-similarity
+    # changed).  The edge arrays stay sorted by (a, b) key, and the
+    # frontier's weight-dedup sums duplicates in the same (ascending
+    # previous-key) order the full np.unique contraction would — the
+    # results are bit-identical to recomputing everything from scratch
+    # each round, at a fraction of the cost once the frontier shrinks.
+    sims = ew / (size[ea] * size[eb])
+    best = np.full(n, -np.inf)
+    np.maximum.at(best, ea, sims)
+    denom = np.minimum(sims, np.minimum(mm[ea], mm[eb]))
+    g = np.maximum(best[ea], best[eb]) / denom
+    good = act[ea] & act[eb] & (denom > 0) & (g <= bound) & (sims >= min_merge_sim)
+
     while ea.size:
-        sims = ew / (size[ea] * size[eb])
-        best = np.full(n, -np.inf)
-        np.maximum.at(best, ea, sims)
-        denom = np.minimum(sims, np.minimum(mm[ea], mm[eb]))
-        g = np.maximum(best[ea], best[eb]) / denom
-        good = act[ea] & act[eb] & (denom > 0) & (g <= bound) & (sims >= min_merge_sim)
         n_good = int(np.count_nonzero(good))
         if n_good == 0:
             break
-        if n_good < _TAIL_GOOD_EDGES:
+        if ea.size < _TAIL_EDGES:
+            # tiny remainders (and tiny test fixtures) get the exact
+            # sequential heap behavior; entry cost is O(remaining
+            # edges) python dict-building, so the gate is on EDGES
+            # left, not good edges — a big subgraph with few good
+            # edges stays in the cheap frontier rounds
             merges.extend(
                 _np_state_to_heap_tail(ea, eb, ew, size, mm, act, epsilon, min_merge_sim)
             )
@@ -395,14 +419,91 @@ def _subgraph_hac_kernel(pdf, epsilon: float, min_merge_sim: float = float("-inf
         act[sel_b] = False
         dest[sel_b] = sel_a
         merges.extend(zip(sel_b.tolist(), sel_a.tolist(), sel_s.tolist()))
-        ea = dest[ea]
-        eb = dest[eb]
-        live = ea != eb
-        key = ea[live] * n + eb[live]
-        ukey, inv = np.unique(key, return_inverse=True)
-        ew = np.bincount(inv, weights=ew[live])
-        ea = ukey // n
-        eb = ukey % n
+
+        affn = np.zeros(n, dtype=bool)
+        affn[sel_a] = True
+        affn[sel_b] = True
+        em = affn[ea] | affn[eb]  # pool: edges incident to a merged cluster
+        n_pool = int(np.count_nonzero(em))
+
+        if n_pool * 2 >= ea.size:
+            # ---- wide round: most edges touched — the full
+            # contraction + full recompute is cheaper than the
+            # frontier bookkeeping (early rounds of a fresh subgraph)
+            ea = dest[ea]
+            eb = dest[eb]
+            live = ea != eb
+            key = ea[live] * n + eb[live]
+            ukey, inv = np.unique(key, return_inverse=True)
+            ew = np.bincount(inv, weights=ew[live])
+            ea = ukey // n
+            eb = ukey % n
+            sims = ew / (size[ea] * size[eb])
+            best = np.full(n, -np.inf)
+            np.maximum.at(best, ea, sims)
+            denom = np.minimum(sims, np.minimum(mm[ea], mm[eb]))
+            g = np.maximum(best[ea], best[eb]) / denom
+            good = (
+                act[ea] & act[eb] & (denom > 0) & (g <= bound) & (sims >= min_merge_sim)
+            )
+            continue
+
+        # ---- narrow round: frontier-incremental contraction ----
+        pe_a, pe_b, pw = ea[em], eb[em], ew[em]
+        # nodes whose incident sims change = pool endpoints (mapped live)
+        n1 = np.zeros(n, dtype=bool)
+        n1[dest[pe_a]] = True
+        n1[dest[pe_b]] = True
+        # relabel + drop self-loops + dedup; boolean masking keeps the
+        # pool in ascending previous-key order, so bincount sums
+        # duplicate weights exactly as the full contraction would
+        pa = dest[pe_a]
+        pb = dest[pe_b]
+        live = pa != pb
+        pkey = pa[live] * n + pb[live]
+        ukey, inv = np.unique(pkey, return_inverse=True)
+        pw2 = np.bincount(inv, weights=pw[live])
+        pa2 = ukey // n
+        pb2 = ukey % n
+        # untouched rest (cached sims/g/good stay valid except where a
+        # best-endpoint changed, patched below)
+        rm = ~em
+        ra, rb, rw = ea[rm], eb[rm], ew[rm]
+        rs, rg, rgood = sims[rm], g[rm], good[rm]
+        # merge the two key-sorted lists (pool keys all contain a
+        # merged cluster, rest keys none — no cross-duplicates)
+        pos = np.searchsorted(ra * n + rb, ukey)
+        ea = np.insert(ra, pos, pa2)
+        eb = np.insert(rb, pos, pb2)
+        ew = np.insert(rw, pos, pw2)
+        ps2 = pw2 / (size[pa2] * size[pb2])
+        sims = np.insert(rs, pos, ps2)
+        g = np.insert(rg, pos, 0.0)
+        good = np.insert(rgood, pos, False)
+        pool_at = pos + np.arange(pos.size)
+
+        # ---- frontier best recompute (sims only DECREASE under
+        # average linkage, so a frontier node's best must rescan all
+        # its incident edges) ----
+        n1_nodes = np.flatnonzero(n1)
+        prev_best = best[n1_nodes].copy()
+        best[n1_nodes] = -np.inf
+        bm = n1[ea]
+        np.maximum.at(best, ea[bm], sims[bm])
+        bc = np.zeros(n, dtype=bool)
+        bc[n1_nodes[best[n1_nodes] != prev_best]] = True
+
+        # ---- frontier goodness recompute: pool edges (sim/mm/act
+        # moved) + edges with a changed-best endpoint ----
+        gmask = bc[ea] | bc[eb]
+        gmask[pool_at] = True
+        ge, gb = ea[gmask], eb[gmask]
+        gdn = np.minimum(sims[gmask], np.minimum(mm[ge], mm[gb]))
+        gg2 = np.maximum(best[ge], best[gb]) / gdn
+        g[gmask] = gg2
+        good[gmask] = (
+            act[ge] & act[gb] & (gdn > 0) & (gg2 <= bound) & (sims[gmask] >= min_merge_sim)
+        )
     np.seterr(**old_err)
 
     # path-compress merge targets
@@ -432,9 +533,13 @@ def _subgraph_hac_kernel(pdf, epsilon: float, min_merge_sim: float = float("-inf
     ).astype({"part": "int64", "vid": "int64", "label": "int64"})
 
 
-# below this many good directed edges a batch round pays a full O(E)
-# pass per handful of merges — hand the remainder to the heap kernel
-_TAIL_GOOD_EDGES = 1024
+# below this many REMAINING directed edges the contracted subgraph is
+# handed to the sequential heap kernel (exact old behavior for tiny
+# fixtures / end-game remainders).  The heap's entry cost is O(edges)
+# python dict-building, so big subgraphs with few good edges stay in
+# the frontier-incremental batch rounds instead — a round there costs
+# O(frontier) plus a handful of O(E) vectorized mask passes.
+_TAIL_EDGES = 4096
 
 
 def _np_state_to_heap_tail(ea, eb, ew, size, mm, act, epsilon, min_merge_sim=float("-inf")):
@@ -491,6 +596,8 @@ def terahac(
     dendro_logs: list[DataFrame] = []
     pruning = cfg.linkage_threshold / (1.0 + eps)
     part_cap = int(cfg.partition_max)
+    salt = 0  # id-permutation key for stall-recovery re-partitioning
+    salts_left = 2  # re-salt attempts per stall before growing the cap
 
     for rnd in range(cfg.max_rounds):
         st_s = state.select(F.col("cid").alias("src"), F.col("sz").alias("_ss"), F.col("mm").alias("_ms"))
@@ -506,12 +613,28 @@ def terahac(
             scored.unpersist()
             break
 
-        # partition actives: size-capped affinity over the active subgraph
+        # partition actives: size-capped affinity over the active
+        # subgraph.  After a stalled round, ``salt`` XOR-permutes the
+        # vertex ids first (a bijection on the non-negative int64
+        # space), which re-rolls every id-based tie-break and
+        # tree-partition split point — the Spark analog of the
+        # reference re-randomizing its partitioner each round
+        # (terahac.cc:83-140) — so a mutual-best pair split across
+        # partitions gets a fresh chance to land together without
+        # growing the cap.
         act_edges = (
             scored.join(active.withColumnRenamed("cid", "src"), "src", "left_semi")
             .join(active.withColumnRenamed("cid", "dst"), "dst", "left_semi")
             .select("src", "dst", F.col("sim").alias("weight"))
         )
+        act_verts = active.select(F.col("cid").alias("vid"))
+        if salt:
+            act_edges = act_edges.select(
+                F.col("src").bitwiseXOR(F.lit(salt)).alias("src"),
+                F.col("dst").bitwiseXOR(F.lit(salt)).alias("dst"),
+                "weight",
+            )
+            act_verts = act_verts.select(F.col("vid").bitwiseXOR(F.lit(salt)).alias("vid"))
         parts = affinity_cluster(
             act_edges,
             AffinityConfig(
@@ -519,11 +642,15 @@ def terahac(
                 edge_aggregation="max",
                 size_constraint=SizeConstraint(max_cluster_size=part_cap),
             ),
-            vertices=active.select(F.col("cid").alias("vid")),
+            vertices=act_verts,
             # act_edges derives from the symmetric contracted table —
             # both orientations are present already
             already_symmetric=True,
         )
+        if salt:
+            # unpermute the member ids; the labels are only partition
+            # KEYS (min permuted member id), no need to map them back
+            parts = parts.select(F.col("vid").bitwiseXOR(F.lit(salt)).alias("vid"), "label")
         parts = cut_lineage(parts.select(F.col("vid").alias("cid"), F.col("label").alias("part")))
 
         # kernel input: every edge whose src is active & partitioned,
@@ -564,8 +691,14 @@ def terahac(
         n_merged = int(obs.get["n_merged"] or 0)
         scored.unpersist()
         if n_merged == 0:
-            # A mutual-best pair may be split across partitions; grow
-            # the cap so the affinity forests get room to reunite them.
+            # A mutual-best pair may be split across partitions.  First
+            # RE-SALT the partitioner (the reference re-randomizes its
+            # partitioner per round, terahac.cc:83-140): XOR-permuting
+            # the ids re-rolls the tree-partition split points, which
+            # usually reunites the pair at the SAME cap — a stalled
+            # round then costs one retry, not a doubled partition size.
+            # If re-salting doesn't help, grow the cap so the affinity
+            # forests get room to reunite them.
             # NOTE: affinity with num_iterations=1 yields one partition
             # per best-neighbor-forest component regardless of cap, so
             # a large cap does NOT force a single partition; progress
@@ -574,13 +707,21 @@ def terahac(
             # each other under the deterministic (weight, id) argmax),
             # so some partition always contains a good edge.  When the
             # cap already clears the active count, no further growth
-            # can change the partitioning — stop.  (The reference
-            # re-randomizes its partitioner per round instead,
-            # terahac.cc:83-140.)
-            if n_active <= part_cap:
+            # can change the partitioning — stop.
+            if n_active <= part_cap and salt == 0:
                 break
+            if salts_left > 0:
+                salts_left -= 1
+                # deterministic 62-bit keys: non-negative ids stay
+                # non-negative under XOR
+                salt = (0x9E3779B97F4A7C15 ^ (0x5851F42D4C957F2D * (rnd + 1))) & ((1 << 62) - 1)
+                continue
+            salt = 0
+            salts_left = 2
             part_cap *= 2
             continue
+        salts_left = 2
+        salt = 0
 
         merge_logs.append(
             kout.filter(F.col("vid") != F.col("label"))

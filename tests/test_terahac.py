@@ -197,13 +197,13 @@ def test_kernel_differential():
     def canon(out):
         return out.drop(columns=["seq"]).sort_values(["vid", "into"]).reset_index(drop=True)
 
-    default_tail = tera_mod._TAIL_GOOD_EDGES
+    default_tail = tera_mod._TAIL_EDGES
     try:
         # tail=default: small fixtures run entirely through the heap
         # tail; tail=0: the pure batched-matching path (no heap) — both
         # must match the python kernel at ε=0
         for tail in (default_tail, 0):
-            tera_mod._TAIL_GOOD_EDGES = tail
+            tera_mod._TAIL_EDGES = tail
             for seed in range(4):
                 for ff in (0.0, 0.25):
                     df = _kernel_fixture(60 + seed * 37, seed, frozen_frac=ff)
@@ -211,7 +211,7 @@ def test_kernel_differential():
                     b = canon(_subgraph_hac_kernel(df.copy(), epsilon=0.0))
                     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     finally:
-        tera_mod._TAIL_GOOD_EDGES = default_tail
+        tera_mod._TAIL_EDGES = default_tail
 
     def replay_check(df, eps, out):
         adj, size, mm, active = {}, {}, {}, {}
@@ -251,7 +251,7 @@ def test_kernel_differential():
 
     try:
         for tail in (default_tail, 0):
-            tera_mod._TAIL_GOOD_EDGES = tail
+            tera_mod._TAIL_EDGES = tail
             for seed in range(3):
                 for eps, ff in [(0.3, 0.0), (1.0, 0.0), (0.5, 0.3)]:
                     df = _kernel_fixture(150 + seed * 31, seed, frozen_frac=ff)
@@ -266,7 +266,7 @@ def test_kernel_differential():
                         check_dtype=False,
                     )
     finally:
-        tera_mod._TAIL_GOOD_EDGES = default_tail
+        tera_mod._TAIL_EDGES = default_tail
 
 
 def _leaf_sets(dendro_rows, n):
@@ -334,3 +334,25 @@ def test_two_cliques_flat(spark):
         TeraHacConfig(epsilon=0.1, linkage_threshold=0.3),
     )
     assert canonicalize_clusters(_labels(labels)) == [(0, 1, 2), (3, 4, 5)]
+
+
+@pytest.mark.parametrize("part_cap", [2, 3])
+def test_stall_resalt_still_exact_at_eps0(spark, part_cap):
+    # pathological caps force the tree partitioner to split mutual-best
+    # pairs; stalled rounds must recover (re-salt first, cap growth as
+    # the backstop) and the final flat clustering stays exact HAC
+    n = 12
+    und = []
+    k = 1
+    for u, v, _ in seeded_er_edges(n, 0.35, seed=5):
+        und.append((u, v, 1.0 + 0.013 * k))
+        k += 1
+    thr = 0.05
+    labels, _log = terahac(
+        make_edges(spark, und),
+        TeraHacConfig(epsilon=0.0, linkage_threshold=thr, partition_max=part_cap),
+    )
+    got = _labels(labels)
+    want = _flat_from_merges(n, sequential_avg_hac(n, und, threshold=thr))
+    want = {v: want[v] for v in got}
+    assert canonicalize_clusters(got) == canonicalize_clusters(want)
