@@ -150,7 +150,6 @@ def main() -> None:
                 "sf": sf,
                 "edges": m,
                 "supersteps": supersteps,
-                "edges_per_sec_per_superstep": eps_df,
                 "edges_per_sec_per_superstep_df": eps_df,
                 "edges_per_sec_per_superstep_csr": eps_csr,
                 "cpus": cpus,

@@ -45,7 +45,14 @@ the cached fixpoint), then EXPANDS the dirty set and repeats whenever a
 re-clustered cluster's similarity to a frozen neighbor cluster reaches
 the threshold (removals can shrink clusters and push cross-cluster
 similarities back above it).  Per-update work is bounded by the touched
-clusters plus actual cascades, never the component.  Average-linkage
+clusters plus actual cascades, never the component.  The expansion loop
+provably terminates in at most #flat-clusters rounds: every flagged
+cluster is outside the current dirty set (its vertices survive the
+anti-join on the dirty region), so each non-final round strictly grows
+the dirty set — the worst case is an adversarial removal chain pulling
+in one frozen neighbor per round (``UpdateStats.expansion_rounds``
+reports the realized cascade depth; each round is a constant number of
+Spark jobs over dirty-region-sized data).  Average-linkage
 reducibility makes insert-only sequences exactly scratch-equal at ε=0
 (cross-cluster similarities only fall as clusters grow, so frozen
 boundaries are sound); removal cascades re-converge through expansion
@@ -79,6 +86,9 @@ class UpdateStats:
     dirty_nodes: int = 0
     dirty_edges: int = 0
     nodes_ignored: int = 0
+    #: cluster-mode expansion rounds this update took (cascade depth;
+    #: 1 = no cascade — the first re-cluster flagged nothing)
+    expansion_rounds: int = 0
 
 
 _EMPTY_EDGES = "src long, dst long, weight double"
@@ -235,7 +245,22 @@ class DynamicHac:
         def run(pdf):
             return _subgraph_hac_kernel(pdf, eps, theta)
 
-        for _round in range(1000):  # expansion fixpoint (monotone, bounded)
+        # Expansion fixpoint.  TERMINATION IS PROVABLE, not a timeout:
+        # a flagged label comes from a cross edge whose dst survived
+        # the left-anti join on D, and D contains every vertex of every
+        # dirty label — so a flagged label is NEVER already dirty, and
+        # each non-final round strictly grows ``dirty`` by at least one
+        # frozen cluster.  Rounds are therefore bounded by the number
+        # of flat clusters (the worst case is a removal chain that
+        # drags in one frozen neighbor per round — see
+        # tests/test_dynamic_hac.py::test_adversarial_removal_cascade).
+        # The loop runs un-counted for the first 1000 rounds (no extra
+        # Spark job); past that we pay one cluster-sized count() for
+        # the true bound and only raise beyond it (a genuine bug, since
+        # strict progress makes the bound unreachable).
+        _cluster_bound = None
+        _round = 0
+        while True:
             dirty = cut_lineage(dirty)
             D = cut_lineage(
                 labels.join(dirty, "label", "left_semi")
@@ -315,11 +340,18 @@ class DynamicHac:
                 .distinct()
             )
             n_flagged = flagged.count()
+            _round += 1
             if n_flagged == 0:
                 break
+            if _round >= 1000:
+                if _cluster_bound is None:
+                    _cluster_bound = int(csize.count()) + 2
+                if _round >= _cluster_bound:
+                    raise RuntimeError(
+                        "dynamic HAC expansion exceeded the cluster-count "
+                        "bound — strict-progress invariant violated"
+                    )
             dirty = dirty.unionByName(flagged).distinct()
-        else:
-            raise RuntimeError("dynamic HAC expansion did not converge")
 
         # ---- rebuild labels ----
         singletons = D.join(newlab.select("vid"), "vid", "left_anti").select(
@@ -383,6 +415,7 @@ class DynamicHac:
             dirty_nodes=n_dirty_nodes,
             dirty_edges=delta_edges,
             nodes_ignored=0,
+            expansion_rounds=_round,
         )
 
     def _reconcile_components(

@@ -188,3 +188,40 @@ def test_cluster_unit_merge_across_clusters(spark):
     got = canonicalize_clusters(_labels(dyn.flat_cluster()))
     want = canonicalize_clusters(_scratch(spark, triples + [(1, 5, 3.0)], thr))
     assert got == want
+
+
+def test_adversarial_removal_cascade(spark):
+    """Adversarial removal chain: one remove must drag frozen clusters
+    into the dirty set one expansion round at a time (the worst case of
+    the strict-progress bound).  The motif is a partner steal — after
+    the hub 0 is removed, vertex 1 is stolen by frozen {3} (2.9 > 1.8),
+    exposing 2 as a singleton whose 2.5-edge flags {4,5}; re-clustering
+    then steals 4 (2.5 > 1.5), exposing 5, whose 2.5-edge flags {6,7}.
+    Average-linkage dilution makes deeper-than-one-per-round flags
+    impossible here, so expansion_rounds records the true cascade
+    depth; the result must still equal scratch."""
+    thr = 1.0
+    triples = [
+        (0, 1, 5.0), (0, 2, 5.0), (1, 2, 1.8),  # C0 = {0,1,2}, hub 0
+        (1, 3, 2.9),                            # thief edge into C1 = {3}
+        (2, 4, 2.5),                            # exposed 2 -> C2
+        (4, 5, 1.5),                            # C2 = {4,5}
+        (5, 6, 2.5),                            # exposed 5 -> C3
+        (6, 7, 3.0),                            # C3 = {6,7}
+    ]
+    dyn = DynamicHac(spark, weight_threshold=thr, epsilon=0.0, dirty_unit="cluster")
+    dyn.insert(make_edges(spark, triples))
+    before = canonicalize_clusters(_labels(dyn.flat_cluster()))
+    assert before == [(0, 1, 2), (3,), (4, 5), (6, 7)]
+
+    stats = dyn.remove(spark.createDataFrame([(0,)], "vid long"))
+    # multi-round cascade: expansion kept finding newly-exposed frozen
+    # clusters after the first re-cluster (measured depth 3)
+    assert stats.expansion_rounds >= 3, "cascade should take multiple rounds"
+    # the cascade eventually dirtied every cluster — but one at a time,
+    # each round bounded by the dirty region, never the whole component
+    assert stats.dirty_partitions == 4
+    got = canonicalize_clusters(_labels(dyn.flat_cluster()))
+    remaining = [t for t in triples if 0 not in t[:2]]
+    want = canonicalize_clusters(_scratch(spark, remaining, thr))
+    assert got == want == [(1, 3), (2, 4), (5, 6, 7)]
