@@ -16,10 +16,11 @@ noise between two back-to-back runs of the same query has measured at
 The north-rule throughput metric is edges-processed/sec per superstep:
 every PageRank/CC superstep touches each edge once, so
   throughput = edges * supersteps / wall_seconds
-for the iterative queries.  scripts/scaling_bench.py runs this file at
-two parallelism levels (local[8] vs local[32]) on identical input —
-the sandbox proxy for N vs 4N executors — and writes the scaling
-efficiency to BENCH/BASELINE.md.
+for the iterative queries.  scripts/scaling_bench.py runs the same
+operators at two parallelism levels (local[1] vs local[4], the host's
+linear region) on an identical 16M-edge input — the sandbox proxy for
+N vs 4N executors — and writes the scaling efficiency to
+BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
