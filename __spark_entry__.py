@@ -347,7 +347,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         mod = modularity_cluster(coparts_edges(s, d), resolution=1.0).select(
             F.lit("modularity_coparts").alias("variant"), "vid", "label"
         )
-        return louv.unionByName(mod)
+        # block-Gauss-Seidel schedule — the deterministic Spark analog
+        # of the reference's ASYNC default (correlation.proto:117-126);
+        # gated by the block-schedule sequential oracle in
+        # tests/test_correlation.py
+        blk = correlation_cluster(
+            bipartite_sym(s, d),
+            CorrelationConfig(edge_weight_offset=1.5, louvain_num_iterations=1,
+                              louvain_num_inner_iterations=2,
+                              move_schedule="block_async", num_move_blocks=2),
+            already_symmetric=True,
+        ).select(F.lit("louvain_block_async").alias("variant"), "vid", "label")
+        return louv.unionByName(mod).unionByName(blk)
 
     q["louvain_modularity_labels"] = _louvain_modularity
 
@@ -532,12 +543,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["clique_aggregator_coparts"] = _clique
 
     # parline balanced partitioning — affinity-hierarchy embedding +
-    # contiguous balanced slicing; sequential-oracle parity + balance
-    # gates in tests/test_parline.py
+    # contiguous balanced slicing.  The WHICH-vertex-goes-where
+    # assignment is pytest-gated (sequential-oracle parity,
+    # tests/test_parline.py); the driver gate here is the INVARIANT
+    # summary, which a DuckDB twin derives independently from n and k
+    # alone: per-cluster (size, min_rank, max_rank, sum_rank) must
+    # equal the deterministic ±1-balanced contiguous intervals of a
+    # 0..n-1 rank permutation (parallel_line.cc:205-223 slicing).  Any
+    # balance, contiguity, interval-order, or rank-coverage defect in
+    # the real parline output hash-mismatches the closed form.
     def _parline(s, d):
         from graph_mining_spark.operators.parline import ParlineConfig, parline
 
-        return parline(coparts_edges(s, d, order_mod=200), ParlineConfig(num_clusters=8))
+        out = parline(coparts_edges(s, d, order_mod=200), ParlineConfig(num_clusters=8))
+        return (
+            out.groupBy("cluster")
+            .agg(
+                F.count("*").alias("size"),
+                F.min("rank").alias("min_rank"),
+                F.max("rank").alias("max_rank"),
+                F.sum("rank").alias("sum_rank"),
+            )
+            .select("cluster", "size", "min_rank", "max_rank", "sum_rank")
+        )
 
     q["parline_coparts"] = _parline
 
@@ -847,6 +875,36 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["clique_aggregator_coparts"] = _maximal_clique_sql()
+
+    # parline invariant twin: the ±1-balanced contiguous slicing of a
+    # 0..n-1 rank permutation into k=8 intervals is a closed form of n
+    # alone — size_c = n//8 (+1 for c < n%8), min_rank_c =
+    # c*(n//8) + least(c, n%8), max = min+size-1, sum = arithmetic
+    # series.  n is the order_mod=200 coparts vertex count, derived
+    # here independently of the engine.
+    o["parline_coparts"] = """
+      WITH ce AS MATERIALIZED (
+        SELECT CAST(a.l_partkey AS BIGINT) AS src, CAST(b.l_partkey AS BIGINT) AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_orderkey % 200 = 0 GROUP BY 1, 2
+      ),
+      verts AS (SELECT DISTINCT vid FROM (
+        SELECT src AS vid FROM ce UNION ALL SELECT dst AS vid FROM ce
+      )),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts),
+      cl AS (SELECT CAST(unnest(generate_series(0, 7)) AS BIGINT) AS cluster),
+      base AS (
+        SELECT cl.cluster,
+               CAST(n // 8 + CASE WHEN cl.cluster < n % 8 THEN 1 ELSE 0 END AS BIGINT) AS size,
+               CAST(cl.cluster * (n // 8) + least(cl.cluster, n % 8) AS BIGINT) AS min_rank
+        FROM cl, nn
+      )
+      SELECT cluster, size, min_rank,
+             CAST(min_rank + size - 1 AS BIGINT) AS max_rank,
+             CAST((min_rank + min_rank + size - 1) * size // 2 AS BIGINT) AS sum_rank
+      FROM base
+    """
 
     o["cluster_stats_mod7"] = f"""
       WITH e AS (SELECT * FROM ({BIPARTITE_SYM_SQL})),

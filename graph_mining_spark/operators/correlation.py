@@ -26,22 +26,34 @@ smaller cluster id (correlation_util.h:133-137 — the reference's
 `cluster < best_move.first` with nullopt initial); applied iff the
 change is > 0 (parallel_correlation.cc:122,148).
 
-We implement the SYNCHRONOUS variant (use_synchronous = true,
-correlation.proto:117-126): every vertex computes its best move
-against the same snapshot and all positive moves apply at once —
-deterministic given the vertex ids, which is what lets a sequential
-Python oracle (tests) and a DuckDB SQL twin (driver gate) reproduce
-results exactly.
+Two move schedules (``CorrelationConfig.move_schedule``):
+  * "sync" (use_synchronous = true, correlation.proto:117-126): every
+    vertex computes its best move against the same snapshot and all
+    positive moves apply at once — deterministic given the vertex
+    ids, which is what lets a sequential Python oracle (tests) and a
+    DuckDB SQL twin (driver gate) reproduce results exactly.
+  * "block_async": the deterministic Spark analog of the reference's
+    ASYNC default (use_synchronous = false — per the proto "up to
+    2.50x faster (median of 1.21x) and ... a 1.29 -- 156.01% increase
+    in objective").  Each round sweeps ``num_move_blocks`` vertex
+    blocks (pmod(vid, B)) sequentially; a block's moves are computed
+    snapshot-synchronously WITHIN the block but see the labels already
+    updated by earlier blocks — block Gauss-Seidel.  This captures the
+    mechanism behind async's advantage (fresher labels, fewer sync
+    oscillations) while staying deterministic (gated by a sequential
+    Python oracle replicating the exact schedule).  One sweep costs
+    the same total edge-join work as one sync round: each block's
+    candidate join prunes to its ~E/B incident-edge slice up front.
 
 Documented non-goals (reference config surface we deliberately do not
 implement, with the proto's own quality/speed numbers):
-  * ASYNCHRONOUS moves (use_synchronous = false, the reference's
-    default): per the proto, async is "up to 2.50x faster (median of
-    1.21x) and gives between a 1.29 -- 156.01% increase in objective"
-    but is non-deterministic (correlation.proto:117-126).  Async
-    depends on racy shared-memory label reads; a Spark superstep has
-    no analog, and non-determinism would break both the DuckDB
-    differential gate and the N-vs-4N equivalence requirement.
+  * RACY asynchronous moves: the reference's async interleaves racy
+    shared-memory label reads at per-vertex granularity; the exact
+    interleaving is scheduler-dependent and non-deterministic
+    (correlation.proto:117-126), which has no Spark superstep analog
+    and would break both the DuckDB differential gate and the N-vs-4N
+    equivalence requirement.  ``move_schedule="block_async"`` above is
+    the deterministic stand-in.
   * Multi-level REFINEMENT (use_refinement, correlation.proto:128-134):
     "1.12 -- 36.92% increase in objective ... up to a 2.29x slowdown
     (median 1.67x), 1.40 -- 23.68x memory overhead".  Orthogonal
@@ -91,6 +103,34 @@ class CorrelationConfig:
     # Requires a (vid, part) DataFrame with part ∈ {0, 1}
     # (graph_mining.Node.part semantics).
     use_bipartite_objective: bool = False
+    # Move schedule (correlation.proto:117-126 use_synchronous):
+    #   "sync"        — every vertex moves against one snapshot per
+    #                   round (use_synchronous = true; the DuckDB-
+    #                   oracle-gated default).
+    #   "block_async" — deterministic Gauss-Seidel analog of the
+    #                   reference's ASYNC default: each round sweeps
+    #                   ``num_move_blocks`` vertex blocks
+    #                   (pmod(vid, B)) sequentially, each block moving
+    #                   against labels ALREADY UPDATED by earlier
+    #                   blocks.  Captures what makes async better
+    #                   (fresher labels -> fewer oscillations, the
+    #                   proto quotes "up to 2.50x faster ... 1.29 --
+    #                   156.01% increase in objective") while staying
+    #                   deterministic and cluster-size-independent —
+    #                   the racy shared-memory interleaving itself has
+    #                   no Spark analog and remains a non-goal.
+    #                   One sweep costs the same total edge-join work
+    #                   as one sync round (each block prunes to its
+    #                   ~E/B incident-edge slice), plus B-1 extra
+    #                   cluster-count-sized aggregate rebuilds.
+    move_schedule: str = "sync"
+    num_move_blocks: int = 4
+
+    def __post_init__(self) -> None:
+        if self.move_schedule not in ("sync", "block_async"):
+            raise ValueError(f"unknown move_schedule: {self.move_schedule!r}")
+        if self.num_move_blocks < 1:
+            raise ValueError("num_move_blocks must be >= 1")
 
 
 def best_moves(
@@ -100,6 +140,7 @@ def best_moves(
     resolution: float = 0.0,
     edge_weight_offset: float = 0.0,
     parts: DataFrame | None = None,
+    block: tuple[int, int] | None = None,
 ) -> DataFrame:
     """One synchronous best-move round.  Returns the new ``(vid, label)``
     with every positive-delta move applied; a vertex whose best move is
@@ -116,10 +157,29 @@ def best_moves(
     of each cluster, K_X[1−p(u)] — same-part non-edges cost nothing —
     so  leave = s_uA − res·k_u·K_A[1−p]  (no −k_u correction: u is not
     in its opposite-part sum) and  gain(C) = s_uC − res·k_u·K_C[1−p].
+
+    With ``block = (b, B)`` only vertices with ``pmod(vid, B) == b``
+    are move candidates (their candidate-gain join prunes to the
+    incident-edge slice up front, ~E/B of the edge table); every other
+    vertex keeps its label with ``_moved = false``.  One sweep over
+    all B blocks therefore costs the same total edge-join work as one
+    unblocked round — this is the building block of the deterministic
+    block-Gauss-Seidel schedule (``move_schedule="block_async"``).
     """
     res = float(resolution)
     off = float(edge_weight_offset)
     bip = parts is not None
+    if block is not None:
+        b_idx, b_cnt = block
+        mover = F.pmod(F.col("vid"), F.lit(b_cnt)) == b_idx
+        non_movers = labels.filter(~mover).select(
+            "vid", "label", F.lit(False).alias("_moved")
+        )
+        edges = edges.filter(F.pmod(F.col("src"), F.lit(b_cnt)) == b_idx)
+        mover_labels = labels.filter(mover)
+    else:
+        non_movers = None
+        mover_labels = labels
 
     lab_nw = labels.join(node_weights, "vid")
     # cluster weights K_C and sizes — cluster-count-sized
@@ -136,7 +196,7 @@ def best_moves(
         .agg(F.sum(F.col("weight") - F.lit(off)).alias("_s"))
     )
 
-    own = lab_nw.select(
+    own = mover_labels.join(node_weights, "vid").select(
         "vid", F.col("label").alias("_A"), F.col("node_weight").alias("_k")
     ).join(
         cw.select(F.col("label").alias("_A"), F.col("_K").alias("_KA"), F.col("_n").alias("_nA")),
@@ -233,7 +293,7 @@ def best_moves(
         F.col("_KAopp") if bip else (F.col("_KA") - F.col("_k"))
     )
     isolated = (
-        labels.join(s_uc.select("vid").distinct(), "vid", "left_anti")
+        mover_labels.join(s_uc.select("vid").distinct(), "vid", "left_anti")
         .join(own, "vid")
         .select(
             "vid",
@@ -241,7 +301,10 @@ def best_moves(
             (iso_gain > 0).alias("_moved"),
         )
     )
-    return moved.unionByName(isolated)
+    out = moved.unionByName(isolated)
+    if non_movers is not None:
+        out = out.unionByName(non_movers)
+    return out
 
 
 def correlation_cluster(
@@ -283,21 +346,26 @@ def correlation_cluster(
     cur_labels = labels  # labels over CURRENT level's vertex ids
     cur_nw = nw
 
+    n_blocks = cfg.num_move_blocks if cfg.move_schedule == "block_async" else 1
     for level in range(cfg.louvain_num_iterations):
         level_moved = 0
         for _ in range(cfg.louvain_num_inner_iterations):
-            stepped = best_moves(
-                cur_edges, cur_labels, cur_nw, cfg.resolution, cfg.edge_weight_offset
-            )
-            obs = Observation()
-            cur_labels = (
-                stepped.observe(obs, F.sum(F.col("_moved").cast("long")).alias("n"))
-                .select("vid", "label")
-            )
-            cur_labels = cut_lineage(cur_labels)
-            n_moved = int(obs.get["n"] or 0)
-            level_moved += n_moved
-            if n_moved == 0:
+            sweep_moved = 0
+            for b in range(n_blocks):
+                stepped = best_moves(
+                    cur_edges, cur_labels, cur_nw, cfg.resolution,
+                    cfg.edge_weight_offset,
+                    block=(b, n_blocks) if n_blocks > 1 else None,
+                )
+                obs = Observation()
+                cur_labels = (
+                    stepped.observe(obs, F.sum(F.col("_moved").cast("long")).alias("n"))
+                    .select("vid", "label")
+                )
+                cur_labels = cut_lineage(cur_labels)
+                sweep_moved += int(obs.get["n"] or 0)
+            level_moved += sweep_moved
+            if sweep_moved == 0:
                 break
         if level_moved == 0:
             break
@@ -354,21 +422,25 @@ def _correlation_cluster_bipartite(
         verts.join(p0, "vid", "left").select("vid", F.coalesce("part", F.lit(0)).alias("part"))
     )
 
+    n_blocks = cfg.num_move_blocks if cfg.move_schedule == "block_async" else 1
     for level in range(cfg.louvain_num_iterations):
         level_moved = 0
         for _ in range(cfg.louvain_num_inner_iterations):
-            stepped = best_moves(
-                cur_edges, cur_labels, cur_nw, cfg.resolution, cfg.edge_weight_offset,
-                parts=cur_parts,
-            )
-            obs = Observation()
-            cur_labels = cut_lineage(
-                stepped.observe(obs, F.sum(F.col("_moved").cast("long")).alias("n"))
-                .select("vid", "label")
-            )
-            n_moved = int(obs.get["n"] or 0)
-            level_moved += n_moved
-            if n_moved == 0:
+            sweep_moved = 0
+            for b in range(n_blocks):
+                stepped = best_moves(
+                    cur_edges, cur_labels, cur_nw, cfg.resolution,
+                    cfg.edge_weight_offset, parts=cur_parts,
+                    block=(b, n_blocks) if n_blocks > 1 else None,
+                )
+                obs = Observation()
+                cur_labels = cut_lineage(
+                    stepped.observe(obs, F.sum(F.col("_moved").cast("long")).alias("n"))
+                    .select("vid", "label")
+                )
+                sweep_moved += int(obs.get["n"] or 0)
+            level_moved += sweep_moved
+            if sweep_moved == 0:
                 break
         if level_moved == 0 or level + 1 >= cfg.louvain_num_iterations:
             break
@@ -450,6 +522,8 @@ def modularity_cluster(
         edge_weight_offset=0.0,
         louvain_num_iterations=cfg.louvain_num_iterations,
         louvain_num_inner_iterations=cfg.louvain_num_inner_iterations,
+        move_schedule=cfg.move_schedule,
+        num_move_blocks=cfg.num_move_blocks,
     )
     out = correlation_cluster(sym, cfg, node_weights=wdeg, already_symmetric=True)
     sym.unpersist()

@@ -35,11 +35,19 @@ def _sym_adj(und_edges):
 
 
 def louvain_sync_oracle(
-    vids, und_edges, res=0.0, off=0.0, levels=10, inner=10, node_weights=None
+    vids, und_edges, res=0.0, off=0.0, levels=10, inner=10, node_weights=None,
+    blocks=1,
 ):
     """Sequential replica of correlation_cluster: snapshot-synchronous
     best moves with the singleton-swap guard, fresh label -(vid+1),
-    SUM contraction, min-vid canonical output."""
+    SUM contraction, min-vid canonical output.
+
+    ``blocks > 1`` replicates move_schedule="block_async": each inner
+    round sweeps the ``blocks`` vertex blocks (``vid % blocks``, Python
+    ``%`` ≡ Spark ``pmod`` for a positive modulus even on the negative
+    contracted ids) sequentially; cluster aggregates are rebuilt from
+    the CURRENT labels at the start of every block, exactly as the
+    engine's per-block ``best_moves`` call recomputes ``cw``."""
     vids = list(vids)
     adj = _sym_adj(und_edges)
     glob = {v: v for v in vids}  # original vid -> current-level node
@@ -50,40 +58,41 @@ def louvain_sync_oracle(
         lab = {v: v for v in cur_nodes}
         level_moved = 0
         for _round in range(inner):
-            K = defaultdict(float)
-            cnt = defaultdict(int)
-            for v in cur_nodes:
-                K[lab[v]] += nw[v]
-                cnt[lab[v]] += 1
-            new_lab = {}
             moved = 0
-            for u in cur_nodes:
-                a = lab[u]
-                k = nw[u]
-                s = defaultdict(float)
-                for v, w in adj.get(u, {}).items():
-                    s[lab[v]] += w - off
-                s_a = s.get(a, 0.0)
-                leave = s_a - res * k * (K[a] - k)
-                delta_new = -leave
-                best = None  # (delta, cluster)
-                for c, sc in s.items():
-                    if c == a:
+            for b in range(blocks):
+                K = defaultdict(float)
+                cnt = defaultdict(int)
+                for v in cur_nodes:
+                    K[lab[v]] += nw[v]
+                    cnt[lab[v]] += 1
+                new_lab = dict(lab)
+                for u in cur_nodes:
+                    if blocks > 1 and u % blocks != b:
                         continue
-                    if cnt[a] == 1 and cnt[c] == 1 and c > a:
-                        continue  # singleton-swap guard
-                    d = sc - res * k * K[c] - leave
-                    if best is None or d > best[0] or (d == best[0] and c < best[1]):
-                        best = (d, c)
-                if best is not None and best[0] > delta_new and best[0] > 0:
-                    new_lab[u] = best[1]
-                    moved += 1
-                elif delta_new > 0:
-                    new_lab[u] = -(u + 1)
-                    moved += 1
-                else:
-                    new_lab[u] = a
-            lab = new_lab
+                    a = lab[u]
+                    k = nw[u]
+                    s = defaultdict(float)
+                    for v, w in adj.get(u, {}).items():
+                        s[lab[v]] += w - off
+                    s_a = s.get(a, 0.0)
+                    leave = s_a - res * k * (K[a] - k)
+                    delta_new = -leave
+                    best = None  # (delta, cluster)
+                    for c, sc in s.items():
+                        if c == a:
+                            continue
+                        if cnt[a] == 1 and cnt[c] == 1 and c > a:
+                            continue  # singleton-swap guard
+                        d = sc - res * k * K[c] - leave
+                        if best is None or d > best[0] or (d == best[0] and c < best[1]):
+                            best = (d, c)
+                    if best is not None and best[0] > delta_new and best[0] > 0:
+                        new_lab[u] = best[1]
+                        moved += 1
+                    elif delta_new > 0:
+                        new_lab[u] = -(u + 1)
+                        moved += 1
+                lab = new_lab
             level_moved += moved
             if moved == 0:
                 break
@@ -115,7 +124,9 @@ def _spark_labels(df):
     return {r["vid"]: r["label"] for r in df.collect()}
 
 
-def louvain_bipartite_oracle(vids, und_edges, part_of, res=0.0, off=0.0, levels=10, inner=10):
+def louvain_bipartite_oracle(
+    vids, und_edges, part_of, res=0.0, off=0.0, levels=10, inner=10, blocks=1
+):
     """Sequential replica of the bipartite-objective path: penalties use
     only the opposite-part cluster weight; contraction groups by
     (cluster, part) with new ids 2·L+part (L = min original member) and
@@ -131,39 +142,40 @@ def louvain_bipartite_oracle(vids, und_edges, part_of, res=0.0, off=0.0, levels=
     for level in range(levels):
         level_moved = 0
         for _round in range(inner):
-            Kp = defaultdict(float)
-            cnt = defaultdict(int)
-            for v in cur_nodes:
-                Kp[(lab[v], 1 - pt[v])] += 0.0  # ensure key space irrelevant
-                Kp[(lab[v], pt[v])] += nw[v]
-                cnt[lab[v]] += 1
-            new_lab = {}
             moved = 0
-            for u in cur_nodes:
-                a, k, p = lab[u], nw[u], pt[u]
-                s = defaultdict(float)
-                for v, w in adj.get(u, {}).items():
-                    s[lab[v]] += w - off
-                leave = s.get(a, 0.0) - res * k * Kp.get((a, 1 - p), 0.0)
-                delta_new = -leave
-                best = None
-                for c, sc in s.items():
-                    if c == a:
+            for b in range(blocks):
+                Kp = defaultdict(float)
+                cnt = defaultdict(int)
+                for v in cur_nodes:
+                    Kp[(lab[v], 1 - pt[v])] += 0.0  # ensure key space irrelevant
+                    Kp[(lab[v], pt[v])] += nw[v]
+                    cnt[lab[v]] += 1
+                new_lab = dict(lab)
+                for u in cur_nodes:
+                    if blocks > 1 and u % blocks != b:
                         continue
-                    if cnt[a] == 1 and cnt[c] == 1 and c > a:
-                        continue
-                    d = sc - res * k * Kp.get((c, 1 - p), 0.0) - leave
-                    if best is None or d > best[0] or (d == best[0] and c < best[1]):
-                        best = (d, c)
-                if best is not None and best[0] > delta_new and best[0] > 0:
-                    new_lab[u] = best[1]
-                    moved += 1
-                elif delta_new > 0:
-                    new_lab[u] = -(u + 1)
-                    moved += 1
-                else:
-                    new_lab[u] = a
-            lab = new_lab
+                    a, k, p = lab[u], nw[u], pt[u]
+                    s = defaultdict(float)
+                    for v, w in adj.get(u, {}).items():
+                        s[lab[v]] += w - off
+                    leave = s.get(a, 0.0) - res * k * Kp.get((a, 1 - p), 0.0)
+                    delta_new = -leave
+                    best = None
+                    for c, sc in s.items():
+                        if c == a:
+                            continue
+                        if cnt[a] == 1 and cnt[c] == 1 and c > a:
+                            continue
+                        d = sc - res * k * Kp.get((c, 1 - p), 0.0) - leave
+                        if best is None or d > best[0] or (d == best[0] and c < best[1]):
+                            best = (d, c)
+                    if best is not None and best[0] > delta_new and best[0] > 0:
+                        new_lab[u] = best[1]
+                        moved += 1
+                    elif delta_new > 0:
+                        new_lab[u] = -(u + 1)
+                        moved += 1
+                lab = new_lab
             level_moved += moved
             if moved == 0:
                 break
@@ -242,6 +254,50 @@ def test_oracle_parity_er(spark, seed, res, off):
     assert canonicalize_clusters(got_common) == canonicalize_clusters(want_common)
 
 
+def test_block_async_config_validation():
+    with pytest.raises(ValueError):
+        CorrelationConfig(move_schedule="racy")
+    with pytest.raises(ValueError):
+        CorrelationConfig(move_schedule="block_async", num_move_blocks=0)
+
+
+def test_block_async_single_block_equals_sync(spark):
+    # B=1 block_async degenerates to the sync schedule exactly
+    tri1 = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0)]
+    tri2 = [(3, 4, 1.0), (4, 5, 1.0), (3, 5, 1.0)]
+    edges = tri1 + tri2 + [(2, 3, 0.25)]
+    sync = _spark_labels(correlation_cluster(
+        make_edges(spark, edges),
+        CorrelationConfig(edge_weight_offset=0.5),
+    ))
+    blk = _spark_labels(correlation_cluster(
+        make_edges(spark, edges),
+        CorrelationConfig(edge_weight_offset=0.5,
+                          move_schedule="block_async", num_move_blocks=1),
+    ))
+    assert sync == blk
+
+
+@pytest.mark.parametrize("seed,res,off,nblocks", [(7, 0.0, 0.5, 3), (23, 0.05, 0.0, 2)])
+def test_block_async_oracle_parity_er(spark, seed, res, off, nblocks):
+    # the deterministic Gauss-Seidel schedule must match a sequential
+    # replica of the exact same block order (engine: pmod(vid, B) == b
+    # sweeps with per-block aggregate rebuild — correlation.py
+    # move_schedule="block_async", the Spark analog of the reference's
+    # async default, correlation.proto:117-126)
+    n = 40
+    und = [(u, v, (1 + (u * 7 + v * 3 + seed) % 4) * 0.25)
+           for u, v, _ in seeded_er_edges(n, 0.12, seed=seed)]
+    cfg = CorrelationConfig(resolution=res, edge_weight_offset=off,
+                            louvain_num_iterations=3, louvain_num_inner_iterations=4,
+                            move_schedule="block_async", num_move_blocks=nblocks)
+    got = _spark_labels(correlation_cluster(make_edges(spark, und), cfg))
+    want = louvain_sync_oracle(range(n), und, res=res, off=off,
+                               levels=3, inner=4, blocks=nblocks)
+    want_common = {v: want[v] for v in got}
+    assert canonicalize_clusters(got) == canonicalize_clusters(want_common)
+
+
 def _parts_df(spark, part_of):
     return spark.createDataFrame(
         [(int(v), int(p)) for v, p in part_of.items()], "vid long, part int"
@@ -289,6 +345,36 @@ def test_bipartite_oracle_parity(spark, seed, res, off):
     )
     want = louvain_bipartite_oracle(
         range(n), und, part_of, res=res, off=off, levels=4, inner=6
+    )
+    want = {v: want[v] for v in got}
+    assert canonicalize_clusters(got) == canonicalize_clusters(want)
+
+
+def test_block_async_bipartite_oracle_parity(spark):
+    # block schedule threaded through the bipartite-objective loop
+    import random
+
+    seed, res, off = 13, 0.3, 0.25
+    rng = random.Random(seed)
+    n1, n2 = 12, 14
+    n = n1 + n2
+    und = [
+        (u, n1 + v, (1 + (u * 5 + v * 11 + seed) % 4) * 0.25)
+        for u in range(n1)
+        for v in range(n2)
+        if rng.random() < 0.25
+    ]
+    part_of = {v: (0 if v < n1 else 1) for v in range(n)}
+    cfg = CorrelationConfig(
+        resolution=res, edge_weight_offset=off, use_bipartite_objective=True,
+        louvain_num_iterations=3, louvain_num_inner_iterations=4,
+        move_schedule="block_async", num_move_blocks=2,
+    )
+    got = _spark_labels(
+        correlation_cluster(make_edges(spark, und), cfg, parts=_parts_df(spark, part_of))
+    )
+    want = louvain_bipartite_oracle(
+        range(n), und, part_of, res=res, off=off, levels=3, inner=4, blocks=2
     )
     want = {v: want[v] for v in got}
     assert canonicalize_clusters(got) == canonicalize_clusters(want)
