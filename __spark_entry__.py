@@ -341,9 +341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         louv = correlation_cluster(
             bipartite_sym(s, d),
             CorrelationConfig(edge_weight_offset=1.5, louvain_num_iterations=3,
-                              louvain_num_inner_iterations=5),
+                              louvain_num_inner_iterations=5,
+                              use_refinement=True),
             already_symmetric=True,
-        ).select(F.lit("louvain_bipartite").alias("variant"), "vid", "label")
+        ).select(F.lit("louvain_bipartite_refined").alias("variant"), "vid", "label")
         mod = modularity_cluster(coparts_edges(s, d), resolution=1.0).select(
             F.lit("modularity_coparts").alias("variant"), "vid", "label"
         )

@@ -54,11 +54,9 @@ implement, with the proto's own quality/speed numbers):
     and would break both the DuckDB differential gate and the N-vs-4N
     equivalence requirement.  ``move_schedule="block_async"`` above is
     the deterministic stand-in.
-  * Multi-level REFINEMENT (use_refinement, correlation.proto:128-134):
-    "1.12 -- 36.92% increase in objective ... up to a 2.29x slowdown
-    (median 1.67x), 1.40 -- 23.68x memory overhead".  Orthogonal
-    quality knob; the level/contraction machinery here could host it
-    later.
+
+Multi-level refinement (use_refinement, correlation.proto:128-135) IS
+implemented — see :class:`CorrelationConfig.use_refinement`.
 
 Scale shape: each round is one edges⋈labels join partitioned on dst,
 one (u, cluster)-grouped partial-aggregated sum, two vertex-sized
@@ -125,6 +123,23 @@ class CorrelationConfig:
     #                   cluster-count-sized aggregate rebuilds.
     move_schedule: str = "sync"
     num_move_blocks: int = 4
+    # Multi-level refinement (correlation.proto:128-135 use_refinement;
+    # reference walk parallel_correlation.cc:538-575): snapshot every
+    # contracted level's (graph, node weights, local labels), then after
+    # the coarsest level converges walk back down — seed each finer
+    # level with its clustering flattened through the refined coarser
+    # labels and re-run the inner best-move rounds on that level's
+    # graph, finishing on the ORIGINAL graph.  The proto quotes a 1.12
+    # -- 36.92% objective increase for a median 1.67x slowdown and a
+    # 1.40 -- 23.68x memory overhead (here: each level's edge table
+    # stays materialized until its refinement pass frees it).  One
+    # deliberate delta: when the coarsest level makes no moves the
+    # reference skips refining the level just below it
+    # (parallel_correlation.cc:452-455 --iter); we still run that
+    # level's rounds, which converge immediately in the common case and
+    # can only improve the objective otherwise — the sequential oracle
+    # replicates our schedule exactly.
+    use_refinement: bool = False
 
     def __post_init__(self) -> None:
         if self.move_schedule not in ("sync", "block_async"):
@@ -307,6 +322,40 @@ def best_moves(
     return out
 
 
+def _iterate_moves(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_weights: DataFrame,
+    cfg: CorrelationConfig,
+    n_blocks: int,
+    parts: DataFrame | None = None,
+) -> tuple[DataFrame, int]:
+    """Up to ``louvain_num_inner_iterations`` best-move rounds (each a
+    ``n_blocks``-block sweep under block_async), stopping early on a
+    zero-move sweep — the reference's IterateBestMoves
+    (parallel_correlation.cc:300-327) shape.  Returns (labels, moves)."""
+    cur = labels
+    total = 0
+    for _ in range(cfg.louvain_num_inner_iterations):
+        sweep_moved = 0
+        for b in range(n_blocks):
+            stepped = best_moves(
+                edges, cur, node_weights, cfg.resolution,
+                cfg.edge_weight_offset, parts=parts,
+                block=(b, n_blocks) if n_blocks > 1 else None,
+            )
+            obs = Observation()
+            cur = cut_lineage(
+                stepped.observe(obs, F.sum(F.col("_moved").cast("long")).alias("n"))
+                .select("vid", "label")
+            )
+            sweep_moved += int(obs.get["n"] or 0)
+        total += sweep_moved
+        if sweep_moved == 0:
+            break
+    return cur, total
+
+
 def correlation_cluster(
     edges: DataFrame,
     config: CorrelationConfig | None = None,
@@ -347,26 +396,12 @@ def correlation_cluster(
     cur_nw = nw
 
     n_blocks = cfg.num_move_blocks if cfg.move_schedule == "block_async" else 1
+    refine = cfg.use_refinement
+    snaps: list[tuple[DataFrame, DataFrame, DataFrame]] = []
     for level in range(cfg.louvain_num_iterations):
-        level_moved = 0
-        for _ in range(cfg.louvain_num_inner_iterations):
-            sweep_moved = 0
-            for b in range(n_blocks):
-                stepped = best_moves(
-                    cur_edges, cur_labels, cur_nw, cfg.resolution,
-                    cfg.edge_weight_offset,
-                    block=(b, n_blocks) if n_blocks > 1 else None,
-                )
-                obs = Observation()
-                cur_labels = (
-                    stepped.observe(obs, F.sum(F.col("_moved").cast("long")).alias("n"))
-                    .select("vid", "label")
-                )
-                cur_labels = cut_lineage(cur_labels)
-                sweep_moved += int(obs.get["n"] or 0)
-            level_moved += sweep_moved
-            if sweep_moved == 0:
-                break
+        cur_labels, level_moved = _iterate_moves(
+            cur_edges, cur_labels, cur_nw, cfg, n_blocks
+        )
         if level_moved == 0:
             break
         labels = cut_lineage(flatten_clustering(labels, cur_labels))
@@ -374,12 +409,40 @@ def correlation_cluster(
             break
         new_edges, new_nw = compress_graph(cur_edges, cur_labels, cur_nw, agg="sum")
         old = cur_edges
+        if refine:
+            # keep this level's graph/weights/local labels materialized
+            # for the walk back down (the proto's quoted memory
+            # overhead, correlation.proto:131-134)
+            snaps.append((old, cur_nw, cur_labels))
         cur_edges = cut_lineage(new_edges)
-        old.unpersist()
+        if not refine:
+            old.unpersist()
         cur_nw = cut_lineage(new_nw)
         cur_labels = cur_nw.select("vid", F.col("vid").alias("label"))
         if cur_edges.isEmpty():
             break
+
+    if refine and snaps:
+        # multi-level refinement walk (parallel_correlation.cc:538-575):
+        # seed level i with its local clustering flattened through the
+        # refined coarser labels (contracted node id == local label
+        # value, so the flatten is a join on that id), re-run the inner
+        # move rounds on level i's graph, finish on the original graph.
+        refined = cur_labels
+        for e_i, nw_i, loc_i in reversed(snaps):
+            seed = cut_lineage(
+                loc_i.select("vid", F.col("label").alias("_cn"))
+                .join(
+                    refined.select(
+                        F.col("vid").alias("_cn"), F.col("label").alias("_rl")
+                    ),
+                    "_cn",
+                )
+                .select("vid", F.col("_rl").alias("label"))
+            )
+            refined, _ = _iterate_moves(e_i, seed, nw_i, cfg, n_blocks)
+            e_i.unpersist()
+        labels = refined
 
     # canonical relabel: min member vid (the reference remaps to a dense
     # [0, k) id space, parallel_correlation_util.cc — min-vid is the
@@ -423,25 +486,12 @@ def _correlation_cluster_bipartite(
     )
 
     n_blocks = cfg.num_move_blocks if cfg.move_schedule == "block_async" else 1
+    refine = cfg.use_refinement
+    snaps: list[tuple[DataFrame, DataFrame, DataFrame, DataFrame]] = []
     for level in range(cfg.louvain_num_iterations):
-        level_moved = 0
-        for _ in range(cfg.louvain_num_inner_iterations):
-            sweep_moved = 0
-            for b in range(n_blocks):
-                stepped = best_moves(
-                    cur_edges, cur_labels, cur_nw, cfg.resolution,
-                    cfg.edge_weight_offset, parts=cur_parts,
-                    block=(b, n_blocks) if n_blocks > 1 else None,
-                )
-                obs = Observation()
-                cur_labels = cut_lineage(
-                    stepped.observe(obs, F.sum(F.col("_moved").cast("long")).alias("n"))
-                    .select("vid", "label")
-                )
-                sweep_moved += int(obs.get["n"] or 0)
-            level_moved += sweep_moved
-            if sweep_moved == 0:
-                break
+        cur_labels, level_moved = _iterate_moves(
+            cur_edges, cur_labels, cur_nw, cfg, n_blocks, parts=cur_parts
+        )
         if level_moved == 0 or level + 1 >= cfg.louvain_num_iterations:
             break
 
@@ -481,8 +531,13 @@ def _correlation_cluster_bipartite(
             .agg(F.sum("node_weight").alias("node_weight"))
         )
         old = cur_edges
+        if refine:
+            snaps.append(
+                (old, cur_nw, cur_parts, node_map.select("node", "_nn"))
+            )
         cur_edges = cut_lineage(new_edges)
-        old.unpersist()
+        if not refine:
+            old.unpersist()
         cur_nw = cut_lineage(new_nw)
         cur_parts = cut_lineage(node_map.select(F.col("_nn").alias("vid"), "part").distinct())
         cur_labels = cut_lineage(
@@ -491,9 +546,33 @@ def _correlation_cluster_bipartite(
         if cur_edges.isEmpty():
             break
 
-    out = node_of.join(
-        cur_labels.select(F.col("vid").alias("node"), "label"), "node"
-    ).select("vid", "label")
+    if refine and snaps:
+        # bipartite refinement walk: the level-i -> level-(i+1) node
+        # linkage is the stored node_map (node -> 2L+part, the
+        # FlattenBipartiteClustering analog, parallel_correlation.cc:
+        # 545-552); seed level i by reading the refined label of each
+        # node's contracted id, then re-run the part-aware move rounds
+        # on level i's graph.
+        refined = cur_labels
+        for e_i, nw_i, parts_i, map_i in reversed(snaps):
+            seed = cut_lineage(
+                map_i.select(F.col("node").alias("vid"), F.col("_nn").alias("_cn"))
+                .join(
+                    refined.select(
+                        F.col("vid").alias("_cn"), F.col("label").alias("_rl")
+                    ),
+                    "_cn",
+                )
+                .select("vid", F.col("_rl").alias("label"))
+            )
+            refined, _ = _iterate_moves(e_i, seed, nw_i, cfg, n_blocks, parts=parts_i)
+            e_i.unpersist()
+        # level-0 nodes ARE the original vids
+        out = refined
+    else:
+        out = node_of.join(
+            cur_labels.select(F.col("vid").alias("node"), "label"), "node"
+        ).select("vid", "label")
     canon = out.groupBy("label").agg(F.min("vid").alias("_c"))
     res = out.join(canon, "label").select("vid", F.col("_c").alias("label"))
     cur_edges.unpersist()
@@ -524,6 +603,7 @@ def modularity_cluster(
         louvain_num_inner_iterations=cfg.louvain_num_inner_iterations,
         move_schedule=cfg.move_schedule,
         num_move_blocks=cfg.num_move_blocks,
+        use_refinement=cfg.use_refinement,
     )
     out = correlation_cluster(sym, cfg, node_weights=wdeg, already_symmetric=True)
     sym.unpersist()

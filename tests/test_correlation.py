@@ -34,9 +34,56 @@ def _sym_adj(und_edges):
     return adj
 
 
+def _uni_move_rounds(cur_nodes, adj, nw, lab, res, off, inner, blocks):
+    """Inner best-move rounds (block sweeps under block_async) — the
+    sequential replica of the engine's _iterate_moves.  Returns
+    (labels, total_moves)."""
+    total = 0
+    for _round in range(inner):
+        moved = 0
+        for b in range(blocks):
+            K = defaultdict(float)
+            cnt = defaultdict(int)
+            for v in cur_nodes:
+                K[lab[v]] += nw[v]
+                cnt[lab[v]] += 1
+            new_lab = dict(lab)
+            for u in cur_nodes:
+                if blocks > 1 and u % blocks != b:
+                    continue
+                a = lab[u]
+                k = nw[u]
+                s = defaultdict(float)
+                for v, w in adj.get(u, {}).items():
+                    s[lab[v]] += w - off
+                s_a = s.get(a, 0.0)
+                leave = s_a - res * k * (K[a] - k)
+                delta_new = -leave
+                best = None  # (delta, cluster)
+                for c, sc in s.items():
+                    if c == a:
+                        continue
+                    if cnt[a] == 1 and cnt[c] == 1 and c > a:
+                        continue  # singleton-swap guard
+                    d = sc - res * k * K[c] - leave
+                    if best is None or d > best[0] or (d == best[0] and c < best[1]):
+                        best = (d, c)
+                if best is not None and best[0] > delta_new and best[0] > 0:
+                    new_lab[u] = best[1]
+                    moved += 1
+                elif delta_new > 0:
+                    new_lab[u] = -(u + 1)
+                    moved += 1
+            lab = new_lab
+        total += moved
+        if moved == 0:
+            break
+    return lab, total
+
+
 def louvain_sync_oracle(
     vids, und_edges, res=0.0, off=0.0, levels=10, inner=10, node_weights=None,
-    blocks=1,
+    blocks=1, refine=False,
 ):
     """Sequential replica of correlation_cluster: snapshot-synchronous
     best moves with the singleton-swap guard, fresh label -(vid+1),
@@ -47,58 +94,32 @@ def louvain_sync_oracle(
     ``%`` ≡ Spark ``pmod`` for a positive modulus even on the negative
     contracted ids) sequentially; cluster aggregates are rebuilt from
     the CURRENT labels at the start of every block, exactly as the
-    engine's per-block ``best_moves`` call recomputes ``cw``."""
+    engine's per-block ``best_moves`` call recomputes ``cw``.
+
+    ``refine=True`` replicates use_refinement: snapshot every
+    contracted level, then walk coarse->fine seeding each level with
+    its local clustering composed with the refined coarser labels and
+    re-running the move rounds on that level's graph."""
     vids = list(vids)
     adj = _sym_adj(und_edges)
     glob = {v: v for v in vids}  # original vid -> current-level node
     cur_nodes = list(vids)
     nw = dict(node_weights) if node_weights else {v: 1.0 for v in cur_nodes}
 
-    for _level in range(levels):
+    snaps = []
+    lab = {v: v for v in cur_nodes}
+    for level in range(levels):
         lab = {v: v for v in cur_nodes}
-        level_moved = 0
-        for _round in range(inner):
-            moved = 0
-            for b in range(blocks):
-                K = defaultdict(float)
-                cnt = defaultdict(int)
-                for v in cur_nodes:
-                    K[lab[v]] += nw[v]
-                    cnt[lab[v]] += 1
-                new_lab = dict(lab)
-                for u in cur_nodes:
-                    if blocks > 1 and u % blocks != b:
-                        continue
-                    a = lab[u]
-                    k = nw[u]
-                    s = defaultdict(float)
-                    for v, w in adj.get(u, {}).items():
-                        s[lab[v]] += w - off
-                    s_a = s.get(a, 0.0)
-                    leave = s_a - res * k * (K[a] - k)
-                    delta_new = -leave
-                    best = None  # (delta, cluster)
-                    for c, sc in s.items():
-                        if c == a:
-                            continue
-                        if cnt[a] == 1 and cnt[c] == 1 and c > a:
-                            continue  # singleton-swap guard
-                        d = sc - res * k * K[c] - leave
-                        if best is None or d > best[0] or (d == best[0] and c < best[1]):
-                            best = (d, c)
-                    if best is not None and best[0] > delta_new and best[0] > 0:
-                        new_lab[u] = best[1]
-                        moved += 1
-                    elif delta_new > 0:
-                        new_lab[u] = -(u + 1)
-                        moved += 1
-                lab = new_lab
-            level_moved += moved
-            if moved == 0:
-                break
+        lab, level_moved = _uni_move_rounds(
+            cur_nodes, adj, nw, lab, res, off, inner, blocks
+        )
         if level_moved == 0:
             break
         glob = {v: lab[glob[v]] for v in glob}
+        if level + 1 >= levels:
+            break
+        if refine:
+            snaps.append((cur_nodes, adj, dict(nw), dict(lab)))
         # contract: SUM inter-cluster weights, sum node weights
         new_adj = defaultdict(dict)
         new_nw = defaultdict(float)
@@ -113,6 +134,15 @@ def louvain_sync_oracle(
         cur_nodes = sorted(new_nw)
         nw = dict(new_nw)
 
+    if refine and snaps:
+        refined = dict(lab)
+        for nodes_i, adj_i, nw_i, loc_i in reversed(snaps):
+            seed = {u: refined[loc_i[u]] for u in nodes_i}
+            refined, _ = _uni_move_rounds(
+                nodes_i, adj_i, nw_i, seed, res, off, inner, blocks
+            )
+        glob = {v: refined[v] for v in vids}
+
     # canonicalize: min member vid
     members = defaultdict(list)
     for v, c in glob.items():
@@ -124,8 +154,52 @@ def _spark_labels(df):
     return {r["vid"]: r["label"] for r in df.collect()}
 
 
+def _bip_move_rounds(cur_nodes, adj, nw, pt, lab, res, off, inner, blocks):
+    """Part-aware inner best-move rounds (see _uni_move_rounds)."""
+    total = 0
+    for _round in range(inner):
+        moved = 0
+        for b in range(blocks):
+            Kp = defaultdict(float)
+            cnt = defaultdict(int)
+            for v in cur_nodes:
+                Kp[(lab[v], pt[v])] += nw[v]
+                cnt[lab[v]] += 1
+            new_lab = dict(lab)
+            for u in cur_nodes:
+                if blocks > 1 and u % blocks != b:
+                    continue
+                a, k, p = lab[u], nw[u], pt[u]
+                s = defaultdict(float)
+                for v, w in adj.get(u, {}).items():
+                    s[lab[v]] += w - off
+                leave = s.get(a, 0.0) - res * k * Kp.get((a, 1 - p), 0.0)
+                delta_new = -leave
+                best = None
+                for c, sc in s.items():
+                    if c == a:
+                        continue
+                    if cnt[a] == 1 and cnt[c] == 1 and c > a:
+                        continue
+                    d = sc - res * k * Kp.get((c, 1 - p), 0.0) - leave
+                    if best is None or d > best[0] or (d == best[0] and c < best[1]):
+                        best = (d, c)
+                if best is not None and best[0] > delta_new and best[0] > 0:
+                    new_lab[u] = best[1]
+                    moved += 1
+                elif delta_new > 0:
+                    new_lab[u] = -(u + 1)
+                    moved += 1
+            lab = new_lab
+        total += moved
+        if moved == 0:
+            break
+    return lab, total
+
+
 def louvain_bipartite_oracle(
-    vids, und_edges, part_of, res=0.0, off=0.0, levels=10, inner=10, blocks=1
+    vids, und_edges, part_of, res=0.0, off=0.0, levels=10, inner=10, blocks=1,
+    refine=False,
 ):
     """Sequential replica of the bipartite-objective path: penalties use
     only the opposite-part cluster weight; contraction groups by
@@ -139,46 +213,11 @@ def louvain_bipartite_oracle(
     pt = {v: part_of[v] for v in cur_nodes}
     lab = {v: v for v in cur_nodes}
 
+    snaps = []
     for level in range(levels):
-        level_moved = 0
-        for _round in range(inner):
-            moved = 0
-            for b in range(blocks):
-                Kp = defaultdict(float)
-                cnt = defaultdict(int)
-                for v in cur_nodes:
-                    Kp[(lab[v], 1 - pt[v])] += 0.0  # ensure key space irrelevant
-                    Kp[(lab[v], pt[v])] += nw[v]
-                    cnt[lab[v]] += 1
-                new_lab = dict(lab)
-                for u in cur_nodes:
-                    if blocks > 1 and u % blocks != b:
-                        continue
-                    a, k, p = lab[u], nw[u], pt[u]
-                    s = defaultdict(float)
-                    for v, w in adj.get(u, {}).items():
-                        s[lab[v]] += w - off
-                    leave = s.get(a, 0.0) - res * k * Kp.get((a, 1 - p), 0.0)
-                    delta_new = -leave
-                    best = None
-                    for c, sc in s.items():
-                        if c == a:
-                            continue
-                        if cnt[a] == 1 and cnt[c] == 1 and c > a:
-                            continue
-                        d = sc - res * k * Kp.get((c, 1 - p), 0.0) - leave
-                        if best is None or d > best[0] or (d == best[0] and c < best[1]):
-                            best = (d, c)
-                    if best is not None and best[0] > delta_new and best[0] > 0:
-                        new_lab[u] = best[1]
-                        moved += 1
-                    elif delta_new > 0:
-                        new_lab[u] = -(u + 1)
-                        moved += 1
-                lab = new_lab
-            level_moved += moved
-            if moved == 0:
-                break
+        lab, level_moved = _bip_move_rounds(
+            cur_nodes, adj, nw, pt, lab, res, off, inner, blocks
+        )
         if level_moved == 0 or level + 1 >= levels:
             break
         # contraction by (cluster, part)
@@ -187,6 +226,8 @@ def louvain_bipartite_oracle(
             members[lab[node]].append(ov)
         L = {c: min(ms) for c, ms in members.items()}
         nn = {v: 2 * L[lab[v]] + pt[v] for v in cur_nodes}
+        if refine:
+            snaps.append((cur_nodes, adj, dict(nw), dict(pt), dict(nn)))
         node_of = {ov: nn[node] for ov, node in node_of.items()}
         new_adj = defaultdict(dict)
         new_nw = defaultdict(float)
@@ -207,6 +248,18 @@ def louvain_bipartite_oracle(
         lab = init_lab
         if not any(adj.values()):
             break
+
+    if refine and snaps:
+        refined = dict(lab)
+        for nodes_i, adj_i, nw_i, pt_i, nn_i in reversed(snaps):
+            seed = {u: refined[nn_i[u]] for u in nodes_i}
+            refined, _ = _bip_move_rounds(
+                nodes_i, adj_i, nw_i, pt_i, seed, res, off, inner, blocks
+            )
+        members = defaultdict(list)
+        for v, c in refined.items():
+            members[c].append(v)
+        return {v: min(members[c]) for v, c in refined.items()}
 
     members = defaultdict(list)
     for ov, node in node_of.items():
@@ -298,6 +351,47 @@ def test_block_async_oracle_parity_er(spark, seed, res, off, nblocks):
     assert canonicalize_clusters(got) == canonicalize_clusters(want_common)
 
 
+@pytest.mark.parametrize("seed,res,off,nblocks", [(7, 0.0, 0.5, 1), (23, 0.05, 0.0, 2)])
+def test_refinement_oracle_parity_er(spark, seed, res, off, nblocks):
+    # use_refinement (correlation.proto:128-135): coarse->fine walk
+    # re-running move rounds per level must match the sequential
+    # replica of the exact same schedule (sync and block_async)
+    n = 40
+    und = [(u, v, (1 + (u * 7 + v * 3 + seed) % 4) * 0.25)
+           for u, v, _ in seeded_er_edges(n, 0.12, seed=seed)]
+    sched = "block_async" if nblocks > 1 else "sync"
+    cfg = CorrelationConfig(resolution=res, edge_weight_offset=off,
+                            louvain_num_iterations=3, louvain_num_inner_iterations=4,
+                            move_schedule=sched, num_move_blocks=nblocks,
+                            use_refinement=True)
+    got = _spark_labels(correlation_cluster(make_edges(spark, und), cfg))
+    want = louvain_sync_oracle(range(n), und, res=res, off=off,
+                               levels=3, inner=4, blocks=nblocks, refine=True)
+    want_common = {v: want[v] for v in got}
+    assert canonicalize_clusters(got) == canonicalize_clusters(want_common)
+
+
+def test_refinement_never_hurts_objective(spark):
+    # every refinement move has a positive objective delta computed on
+    # the contracted graph, which equals the true delta on the original
+    # graph under SUM contraction — so refined >= unrefined always
+    from graph_mining_spark.operators.correlation import correlation_objective
+    from graph_mining_spark.graph import symmetrize
+
+    n, seed, res, off = 40, 11, 0.02, 0.25
+    und = [(u, v, (1 + (u * 7 + v * 3 + seed) % 4) * 0.25)
+           for u, v, _ in seeded_er_edges(n, 0.12, seed=seed)]
+    e = make_edges(spark, und)
+    sym = symmetrize(e)
+    base_cfg = dict(resolution=res, edge_weight_offset=off,
+                    louvain_num_iterations=3, louvain_num_inner_iterations=4)
+    plain = correlation_cluster(e, CorrelationConfig(**base_cfg))
+    refined = correlation_cluster(e, CorrelationConfig(**base_cfg, use_refinement=True))
+    obj_plain = correlation_objective(sym, plain, resolution=res, edge_weight_offset=off)
+    obj_ref = correlation_objective(sym, refined, resolution=res, edge_weight_offset=off)
+    assert obj_ref >= obj_plain - 1e-9
+
+
 def _parts_df(spark, part_of):
     return spark.createDataFrame(
         [(int(v), int(p)) for v, p in part_of.items()], "vid long, part int"
@@ -375,6 +469,35 @@ def test_block_async_bipartite_oracle_parity(spark):
     )
     want = louvain_bipartite_oracle(
         range(n), und, part_of, res=res, off=off, levels=3, inner=4, blocks=2
+    )
+    want = {v: want[v] for v in got}
+    assert canonicalize_clusters(got) == canonicalize_clusters(want)
+
+
+def test_refinement_bipartite_oracle_parity(spark):
+    import random
+
+    seed, res, off = 29, 0.3, 0.25
+    rng = random.Random(seed)
+    n1, n2 = 12, 14
+    n = n1 + n2
+    und = [
+        (u, n1 + v, (1 + (u * 5 + v * 11 + seed) % 4) * 0.25)
+        for u in range(n1)
+        for v in range(n2)
+        if rng.random() < 0.25
+    ]
+    part_of = {v: (0 if v < n1 else 1) for v in range(n)}
+    cfg = CorrelationConfig(
+        resolution=res, edge_weight_offset=off, use_bipartite_objective=True,
+        louvain_num_iterations=3, louvain_num_inner_iterations=4,
+        use_refinement=True,
+    )
+    got = _spark_labels(
+        correlation_cluster(make_edges(spark, und), cfg, parts=_parts_df(spark, part_of))
+    )
+    want = louvain_bipartite_oracle(
+        range(n), und, part_of, res=res, off=off, levels=3, inner=4, refine=True
     )
     want = {v: want[v] for v in got}
     assert canonicalize_clusters(got) == canonicalize_clusters(want)
