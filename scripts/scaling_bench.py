@@ -35,6 +35,10 @@ CC_CAP = 12
 TRI_VERT = 1 << 19
 TRI_EDGES = 4_000_000
 SALT_THRESHOLD = 500_000
+# calibration-pass row multiplier (round-4 verdict #7: the pure-shuffle
+# pass must be long enough that fixed JVM/job costs don't produce
+# superlinear ratios; 8 x 16M rows ~= 20 s+ at the 4N level)
+CAL_SCALE = int(os.environ.get("SPARK_GRAFT_CAL_SCALE", "8"))
 # N=1 vs 4N=4 is the documented methodology (BENCH/BASELINE.md "Why
 # N=1 and 4N=4"): the host saturates ~10-14 effective cores, so 2v8
 # already grades the hypervisor — its pure-shuffle calibration ceiling
@@ -123,14 +127,27 @@ def worker(cpus: int) -> None:
     res["queries"]["pagerank_csr_10it"] = round(time.monotonic() - t0, 3)
     res["supersteps"]["pagerank_csr_10it"] = PR_ITERS
 
-    # host-calibration row: a pure shuffle (repartition both ways +
-    # count) of the same edge table.  The superstep loops are shuffle-
-    # bound, so their achievable 2->8 ratio is capped by THIS number on
-    # a single box (all local[k] workers share one memory/disk
-    # subsystem); a real 4N-executor cluster adds bandwidth with
-    # machines.
+    # host-calibration row: a pure shuffle (repartition by key +
+    # groupBy) over CAL_SCALE stacked key-shifted copies of the same
+    # edge table.  The superstep loops are shuffle-bound, so their
+    # achievable N->4N ratio is capped by THIS number on a single box
+    # (all local[k] workers share one memory/disk subsystem); a real
+    # 4N-executor cluster adds bandwidth with machines.  The stacking
+    # exists because round 4 measured the single-copy pass superlinear
+    # (1.128): at ~2.6 s on local[4] the fixed JVM/job costs and the
+    # noisy 1-core baseline dominated.  8x the rows makes the 4N-level
+    # pass ~20 s+, so the ratio measures byte movement, not job setup.
+    cal_e = e
+    for i in range(1, CAL_SCALE):
+        cal_e = cal_e.unionAll(
+            e.select(
+                "src", (F.col("dst") + F.lit(i * N_VERT)).alias("dst"), "weight"
+            )
+        )
     t0 = time.monotonic()
-    e.repartition("dst").groupBy("dst").agg(F.count("*")).agg(F.sum("count(1)")).first()
+    cal_e.repartition("dst").groupBy("dst").agg(F.count("*")).agg(
+        F.sum("count(1)")
+    ).first()
     res["queries"]["shuffle_calibration"] = round(time.monotonic() - t0, 3)
     res["supersteps"]["shuffle_calibration"] = 1
 
@@ -233,8 +250,12 @@ def orchestrate(repeats: int = 3) -> None:
         "",
         "## Host ceiling calibration",
         "",
-        "`shuffle_calibration` is ONE pure repartition+groupBy pass over the",
-        "same edge table — no engine logic, just Spark moving bytes.  Every",
+        "`shuffle_calibration` is ONE pure repartition+groupBy pass over",
+        f"{CAL_SCALE} stacked key-shifted copies of the same edge table",
+        f"(~{CAL_SCALE * M_EDGES / 1e6:.0f}M rows — sized so the 4N-level pass is tens of",
+        "seconds and fixed JVM/job costs cannot skew the ratio, which made",
+        "the round-4 single-copy row superlinear) — no engine logic, just",
+        "Spark moving bytes.  Every",
         "local[k] worker shares ONE machine's memory/disk subsystem, so this",
         "row measures the best N→4N ratio ANY shuffle-bound job can reach on",
         "this box; a real 4N-executor cluster adds memory channels and disks",
