@@ -401,11 +401,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["affinity_sized_bipartite"] = _affinity_sized
 
-    # ParHac (1+ε)-approximate HAC + dynamic HAC in ONE tagged slot:
-    # parhac's merge sequence is gated by the sequential oracle in
-    # tests/test_hac.py; the dynamic variant runs a scripted
-    # insert/insert/remove sequence through the CLUSTER-granular dirty
-    # unit (scratch-equivalence gated in tests/test_dynamic_hac.py)
+    # ParHac (1+ε)-approximate HAC + dynamic HAC in ONE tagged slot,
+    # FULLY oracle-gated: on the nations fixture every feasible
+    # average-linkage merge has similarity ≥ 1/6 > 0.05 (see the
+    # terahac_nations note), so both runs at threshold 0.05 provably
+    # merge each component completely and their min-member-canonical
+    # flat labels equal connected components — for the dynamic variant,
+    # the components OF THE POST-REMOVAL graph (insert all edges,
+    # remove vids 3 and 17 through the CLUSTER-granular dirty unit).
+    # A DuckDB twin runs recursive CC on both edge sets independently.
+    # Merge sequences stay gated by the sequential oracle in
+    # tests/test_hac.py; dynamic scratch-equivalence in
+    # tests/test_dynamic_hac.py.
     def _hac_labels(s, d):
         from graph_mining_spark.operators.dynamic_hac import DynamicHac
         from graph_mining_spark.operators.hac import ParHacConfig, parhac
@@ -424,9 +431,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hac_labels_nations"] = _hac_labels
 
-    # string-keyed tie-breaking (MaxWeightTiebreaker) — xxhash64 has no
-    # DuckDB twin; gated by the python-argmax oracle in
-    # tests/test_tiebreaking.py
+    # string-keyed tie-breaking (MaxWeightTiebreaker) — driver gate runs
+    # the md5 fingerprint mode, whose lowercase-hex fingerprints DuckDB
+    # reproduces bit-for-bit (md5() twin), so the EXACT salted
+    # (weight, fingerprint) argmax is oracle-checked end-to-end; the
+    # default xxhash64 mode (no DuckDB twin) stays gated by the
+    # python-argmax oracle in tests/test_tiebreaking.py
     def _tiebreak(s, d):
         from graph_mining_spark.operators.tiebreaking import best_neighbor_string_tiebreak
 
@@ -434,7 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         keys = vertex_ids(sym).select(
             "vid", F.concat(F.lit("node:"), F.col("vid").cast("string")).alias("key")
         )
-        return best_neighbor_string_tiebreak(sym, keys)
+        return best_neighbor_string_tiebreak(sym, keys, hash_fn="md5")
 
     q["best_neighbor_tiebreak_bipartite"] = _tiebreak
 
@@ -482,30 +492,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pivot_coconductance_coparts"] = _pivot_cocond
 
-    # TeraHac — per-partition subgraph HAC: flat labels at ε=0.1 AND
-    # the ε=0 parent-array dendrogram in ONE tagged slot (exact-HAC /
-    # dendrogram-parity gates in tests/test_terahac.py; rows-only here)
+    # TeraHac — per-partition subgraph HAC, now FULLY oracle-gated: on
+    # the nations fixture (unit-weight paths of ≤5 vertices per region)
+    # every feasible average-linkage merge joins adjacent sub-paths with
+    # cut weight 1 and size product ≤ 2·3, so its similarity is
+    # ≥ 1/6 > 0.05 — HAC at threshold 0.05 therefore merges each
+    # component COMPLETELY regardless of ε or merge order.  Three
+    # provable regimes in one tagged slot: (a) ε=0.1 flat labels ==
+    # connected components (labels are min-member canonical,
+    # terahac.py:572-573); (b) threshold=∞ == all singletons; (c) the
+    # ε=0 dendrogram has exactly 2n−C nodes and C roots (C components,
+    # full binary merge tree per component).  A DuckDB recursive-CC
+    # twin derives all three independently; exact merge SEQUENCES stay
+    # gated in tests/test_terahac.py (ε=0 parity with sequential HAC).
     def _terahac(s, d):
         from graph_mining_spark.operators.terahac import TeraHacConfig, terahac
 
-        labels, _log = terahac(
-            nations_edges(s, d), TeraHacConfig(epsilon=0.1, linkage_threshold=0.05)
-        )
-        _labels, _log2, dendro = terahac(
-            nations_edges(s, d),
-            TeraHacConfig(epsilon=0.0, linkage_threshold=0.05, output_dendrogram=True),
-        )
+        e = nations_edges(s, d)
+        labels, _log = terahac(e, TeraHacConfig(epsilon=0.1, linkage_threshold=0.05))
         lab_rows = labels.select(
             F.lit("labels_eps01").alias("variant"),
             F.col("vid").alias("id1"), F.col("label").alias("id2"),
             F.lit(None).cast("double").alias("val"),
         )
-        den_rows = dendro.select(
-            F.lit("dendrogram_eps0").alias("variant"),
-            F.col("node_id").alias("id1"), F.col("parent_id").alias("id2"),
-            F.round("merge_similarity", 6).alias("val"),
+        none_labels, _log2 = terahac(e, TeraHacConfig(epsilon=0.0, linkage_threshold=1e9))
+        none_rows = none_labels.select(
+            F.lit("merge_none").alias("variant"),
+            F.col("vid").alias("id1"), F.col("label").alias("id2"),
+            F.lit(None).cast("double").alias("val"),
         )
-        return lab_rows.unionByName(den_rows)
+        _labels, _log3, dendro = terahac(
+            e, TeraHacConfig(epsilon=0.0, linkage_threshold=0.05, output_dendrogram=True)
+        )
+        shape_rows = dendro.agg(
+            F.count("*").cast("long").alias("id1"),
+            F.sum(F.col("parent_id").isNull().cast("long")).alias("id2"),
+        ).select(
+            F.lit("dendrogram_eps0_shape").alias("variant"), "id1", "id2",
+            F.lit(None).cast("double").alias("val"),
+        )
+        return lab_rows.unionByName(none_rows).unionByName(shape_rows)
 
     q["terahac_nations"] = _terahac
 
@@ -746,11 +772,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_documents", "near_dup_pairs", "simhash_documents",
         "lsh_pairs_documents", "ann_cosine_top3", "ann_lsh_top3",
         "relational_q1", "topk_orders_per_customer", "events_hourly_sessions",
-        "clique_aggregator_coparts",
-        # rows-only, pytest-gated (9)
-        "parline_coparts", "terahac_nations",
-        "hac_labels_nations", "louvain_modularity_labels",
-        "affinity_sized_bipartite", "best_neighbor_tiebreak_bipartite",
+        "clique_aggregator_coparts", "parline_coparts", "terahac_nations",
+        "hac_labels_nations", "best_neighbor_tiebreak_bipartite",
+        # rows-only, pytest-gated (5)
+        "louvain_modularity_labels", "affinity_sized_bipartite",
         "fde_embeddings_by_label", "pivot_coconductance_coparts",
         "ann_ivf_top3",
     ]
@@ -838,6 +863,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT src, dst, weight,
                row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst DESC) AS r
         FROM ({BIPARTITE_SYM_SQL})
+      ) WHERE r = 1
+    """
+
+    # md5-mode string tiebreak: DuckDB's md5() emits the identical
+    # lowercase hex as Spark's, so the salted unordered-pair fingerprint
+    # md5(least(fs,fd) || greatest(fs,fd)) and its lexicographic DESC
+    # ordering reproduce the engine's exact (weight, fingerprint, dst)
+    # argmax — tiebreaking.h:42-97 semantics, engine-portable hash.
+    o["best_neighbor_tiebreak_bipartite"] = f"""
+      WITH e AS MATERIALIZED (SELECT * FROM ({BIPARTITE_SYM_SQL})),
+      k AS (
+        SELECT src, dst, weight,
+               md5('node:' || CAST(src AS VARCHAR)) AS fs,
+               md5('node:' || CAST(dst AS VARCHAR)) AS fd
+        FROM e WHERE src <> dst AND weight >= 0.0
+      )
+      SELECT src, dst, weight FROM (
+        SELECT src, dst, weight,
+               row_number() OVER (
+                 PARTITION BY src
+                 ORDER BY weight DESC,
+                          md5(least(fs, fd) || greatest(fs, fd)) DESC,
+                          dst DESC
+               ) AS r
+        FROM k
       ) WHERE r = 1
     """
 
@@ -1065,6 +1115,82 @@ def oracle_sql() -> dict[str, str]:
     # CSR twins share the DataFrame-mode oracles
     o["cc_csr_nations"] = o["cc_nations"]
     o["pagerank_csr_iter2_bipartite"] = o["pagerank_iter2_bipartite"]
+
+    # TeraHac invariant twin — on the nations fixture threshold 0.05
+    # sits below the minimum feasible average-linkage similarity (1/6),
+    # so flat labels == recursive-CC components (min-member labels),
+    # threshold=∞ == singletons, and the ε=0 dendrogram has 2n−C nodes
+    # with C roots.  All three derived here independently of the engine.
+    o["terahac_nations"] = f"""
+      WITH RECURSIVE eu AS (
+        SELECT src, dst FROM ({NATIONS_E_SQL})
+        UNION
+        SELECT dst AS src, src AS dst FROM ({NATIONS_E_SQL})
+      ),
+      verts AS (SELECT DISTINCT src AS vid FROM eu),
+      reach(a, b) AS (
+        SELECT src AS a, dst AS b FROM eu
+        UNION
+        SELECT r.a, e.dst AS b FROM reach r JOIN eu e ON r.b = e.src
+      ),
+      mins AS (SELECT a AS vid, min(b) AS mb FROM reach GROUP BY 1),
+      cc AS (
+        SELECT v.vid, least(v.vid, coalesce(m.mb, v.vid)) AS label
+        FROM verts v LEFT JOIN mins m USING (vid)
+      ),
+      shape AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT label) AS BIGINT) AS ncomp
+        FROM cc
+      )
+      SELECT 'labels_eps01' AS variant, vid AS id1, label AS id2,
+             CAST(NULL AS DOUBLE) AS val FROM cc
+      UNION ALL
+      SELECT 'merge_none', vid, vid, NULL FROM verts
+      UNION ALL
+      SELECT 'dendrogram_eps0_shape', 2 * n - ncomp, ncomp, NULL FROM shape
+    """
+
+    # ParHac + dynamic-HAC invariant twin: recursive CC on the full
+    # nations graph (parhac variant) and on the graph with vids 3 and
+    # 17 removed (dynamic insert/insert/remove script) — same
+    # threshold-below-min-linkage argument as terahac_nations.
+    o["hac_labels_nations"] = f"""
+      WITH RECURSIVE eu AS (
+        SELECT src, dst FROM ({NATIONS_E_SQL})
+        UNION
+        SELECT dst AS src, src AS dst FROM ({NATIONS_E_SQL})
+      ),
+      verts AS (SELECT DISTINCT src AS vid FROM eu),
+      reach(a, b) AS (
+        SELECT src AS a, dst AS b FROM eu
+        UNION
+        SELECT r.a, e.dst AS b FROM reach r JOIN eu e ON r.b = e.src
+      ),
+      mins AS (SELECT a AS vid, min(b) AS mb FROM reach GROUP BY 1),
+      cc_all AS (
+        SELECT v.vid, least(v.vid, coalesce(m.mb, v.vid)) AS label
+        FROM verts v LEFT JOIN mins m USING (vid)
+      ),
+      e2 AS (
+        SELECT src, dst FROM eu
+        WHERE src NOT IN (3, 17) AND dst NOT IN (3, 17)
+      ),
+      verts2 AS (SELECT vid FROM verts WHERE vid NOT IN (3, 17)),
+      reach2(a, b) AS (
+        SELECT src AS a, dst AS b FROM e2
+        UNION
+        SELECT r.a, x.dst AS b FROM reach2 r JOIN e2 x ON r.b = x.src
+      ),
+      mins2 AS (SELECT a AS vid, min(b) AS mb FROM reach2 GROUP BY 1),
+      cc_dyn AS (
+        SELECT v.vid, least(v.vid, coalesce(m.mb, v.vid)) AS label
+        FROM verts2 v LEFT JOIN mins2 m USING (vid)
+      )
+      SELECT 'parhac' AS variant, vid, label FROM cc_all
+      UNION ALL
+      SELECT 'dynamic_seq' AS variant, vid, label FROM cc_dyn
+    """
 
     # -- pipeline --
     o["dedup_exact_documents"] = """

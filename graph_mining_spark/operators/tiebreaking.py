@@ -13,6 +13,10 @@ order over edges (tiebreaking.h:30-41).
 The hash is xxhash64 (Spark-native, seedable) rather than farmhash —
 the contract is determinism/partition-invariance/salt-sensitivity, not
 a specific hash function; farmhash has no JVM-side Spark twin.
+``hash_fn="md5"`` selects an md5-hex fingerprint instead (compared
+lexicographically) — identical across engines that implement RFC-1321
+md5, which gives the operator an exact ANSI-SQL differential twin
+(DuckDB ``md5()`` emits the same lowercase hex as Spark's).
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ def best_neighbor_string_tiebreak(
     string_ids: DataFrame,
     threshold: float = 0.0,
     salted: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-node best neighbor by (weight desc, fingerprint desc) with
     string-keyed fingerprints — the sequential-affinity tie-break
@@ -47,7 +52,14 @@ def best_neighbor_string_tiebreak(
     (vid, key) — e.g. repo:path for the link graph.  Returns
     (src, dst, weight), one row per node with a qualifying edge;
     the result is partition-layout invariant.
+
+    ``hash_fn``: ``"xxhash64"`` (default; int64 fingerprints) or
+    ``"md5"`` (lowercase-hex fingerprints compared lexicographically;
+    engine-portable, so a SQL engine with ``md5()`` can reproduce the
+    exact selection — the driver's DuckDB differential gate uses it).
     """
+    if hash_fn not in ("xxhash64", "md5"):
+        raise ValueError("hash_fn must be 'xxhash64' or 'md5'")
     keys_src = string_ids.select(F.col("vid").alias("src"), F.col("key").alias("_ks"))
     keys_dst = string_ids.select(F.col("vid").alias("dst"), F.col("key").alias("_kd"))
     e = (
@@ -56,11 +68,21 @@ def best_neighbor_string_tiebreak(
         .join(keys_src, "src")
         .join(keys_dst, "dst")
     )
-    fp_key = F.xxhash64(F.col("_kd"))
-    if salted:
-        fp = _pair_fingerprint(F.xxhash64(F.col("_ks")), fp_key)
+    if hash_fn == "md5":
+        fp_key = F.md5(F.col("_kd"))
+        if salted:
+            fp_salt = F.md5(F.col("_ks"))
+            fp = F.md5(
+                F.concat(F.least(fp_salt, fp_key), F.greatest(fp_salt, fp_key))
+            )
+        else:
+            fp = fp_key
     else:
-        fp = fp_key
+        fp_key = F.xxhash64(F.col("_kd"))
+        if salted:
+            fp = _pair_fingerprint(F.xxhash64(F.col("_ks")), fp_key)
+        else:
+            fp = fp_key
     w = Window.partitionBy("src").orderBy(
         F.col("weight").desc(), fp.desc(), F.col("dst").desc()
     )

@@ -69,3 +69,46 @@ def test_salt_changes_uniform_weight_picks(spark):
     # salted mode by per-pair hashes — on uniform weights they disagree
     # somewhere on any non-trivial graph
     assert salted != plain
+
+
+def test_md5_mode_matches_python_md5_argmax(spark):
+    """hash_fn="md5" replicates a pure-python RFC-1321 argmax — the
+    engine-portable fingerprint mode the driver's DuckDB twin gates."""
+    import hashlib
+
+    e, keys, both, n = _fixture(spark)
+    k = {r["vid"]: r["key"] for r in keys.collect()}
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    adj = {}
+    for u, v, w in both:
+        adj.setdefault(u, []).append((v, w))
+    want = {}
+    for u, nbrs in adj.items():
+        fu = h(k[u])
+        best = max(
+            nbrs, key=lambda t: (t[1], h(min(fu, h(k[t[0]])) + max(fu, h(k[t[0]]))), t[0])
+        )
+        want[u] = best[0]
+    got = {
+        r["src"]: r["dst"]
+        for r in best_neighbor_string_tiebreak(e, keys, hash_fn="md5").collect()
+    }
+    assert got == want
+
+
+def test_md5_mode_partition_invariance(spark):
+    e, keys, _, _ = _fixture(spark)
+    a = {
+        (r["src"], r["dst"])
+        for r in best_neighbor_string_tiebreak(e, keys, hash_fn="md5").collect()
+    }
+    b = {
+        (r["src"], r["dst"])
+        for r in best_neighbor_string_tiebreak(
+            e.repartition(13), keys.repartition(5), hash_fn="md5"
+        ).collect()
+    }
+    assert a == b
