@@ -419,3 +419,66 @@ def test_embedding_near_dup_lsh_recall_and_precision(spark):
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f}"
     assert len(approx_rows) == len(approx), "pairs deduped across tables"
+
+
+def test_sample_frames_y4m_roundtrip(spark):
+    """Real in-sandbox video frame sampling: deterministic C420 and
+    Cmono YUV4MPEG2 streams built by the encoder twin must yield every
+    every_n-th frame bit-exactly (fixed-stride offset sampling, pure
+    NumPy, no ffmpeg)."""
+    import numpy as np
+
+    from graph_mining_spark.functions.multimodal import encode_y4m, sample_frames
+
+    h, w, t = 8, 12, 11
+    c420 = []
+    for i in range(t):
+        y, x = np.mgrid[0:h, 0:w]
+        yp = ((x * 3 + y * 5 + i * 17) % 256).astype(np.uint8)
+        up = ((x[: h // 2, : w // 2] + i) % 256).astype(np.uint8)
+        vp = ((y[: h // 2, : w // 2] * 2 + i) % 256).astype(np.uint8)
+        c420.append((yp, up, vp))
+    mono = np.stack([((np.arange(h * w) * (i + 1)) % 256).reshape(h, w) for i in range(t)]).astype(np.uint8)
+
+    v420 = encode_y4m(c420, fps=(25, 1), colorspace="C420")
+    vmono = encode_y4m(mono, colorspace="Cmono")
+    media = spark.createDataFrame(
+        [(0, bytearray(v420), "video/y4m", len(v420)), (1, bytearray(vmono), "video/y4m", len(vmono))],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    out = sample_frames(media, every_n=4).collect()
+    by_key = {(r["media_id"], r["frame_index"]): r for r in out}
+    assert sorted(i for m, i in by_key if m == 0) == [0, 4, 8]
+    assert sorted(i for m, i in by_key if m == 1) == [0, 4, 8]
+    for i in (0, 4, 8):
+        r = by_key[(0, i)]
+        assert (r["width"], r["height"], r["colorspace"]) == (w, h, "C420")
+        yp, up, vp = c420[i]
+        assert bytes(r["pixels"]) == yp.tobytes() + up.tobytes() + vp.tobytes()
+        rm = by_key[(1, i)]
+        assert rm["colorspace"] == "Cmono"
+        assert bytes(rm["pixels"]) == mono[i].tobytes()
+
+
+def test_sample_frames_error_channel(spark):
+    """Compressed containers refuse in-kernel; on_error='null' isolates
+    them per-row instead of failing the job."""
+    import numpy as np
+
+    from graph_mining_spark.functions.multimodal import encode_y4m, sample_frames
+
+    good = encode_y4m(np.zeros((2, 4, 4), dtype=np.uint8), colorspace="Cmono")
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(good), "video/y4m", len(good)),
+            (1, bytearray(b"\x00\x00\x00\x1cftypisom fake-mp4"), "video/mp4", 20),
+        ],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unsupported video magic"):
+        sample_frames(media).collect()
+    out = {r["media_id"]: r for r in sample_frames(media, on_error="null").collect()}
+    assert out[0]["error"] is None and out[0]["frame_index"] == 0
+    assert out[1]["pixels"] is None and "unsupported video magic" in out[1]["error"]
