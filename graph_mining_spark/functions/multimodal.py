@@ -1,16 +1,18 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 decode_image has REAL pure-NumPy decoders for BMP (uncompressed
-BI_RGB), binary PPM (P6), and PNG (stdlib zlib inflate + per-scanline
-unfiltering; 8-bit gray/RGB/RGBA, non-interlaced); sample_frames has a
-REAL pure-NumPy path for uncompressed YUV4MPEG2 video (C420/Cmono,
-fixed-stride offset sampling) — each round-trip-tested through the
-mapInPandas kernel against an in-repo encoder twin.  The container has
-no image/audio libraries, so the remaining compressed paths (JPEG/WebP
-images, MP4/MKV codec video) are clearly-marked NotImplementedError —
-the Spark-side plumbing (schema, Arrow batch shape, mapInPandas
-signatures, partitioning, error channel) is real and tested, and
-swapping in PIL/ffmpeg is a local change inside one pandas function.
+BI_RGB), binary PPM (P6), PNG (stdlib zlib inflate + per-scanline
+unfiltering; 8-bit gray/RGB/RGBA, non-interlaced), and baseline JPEG
+(ITU-T.81 sequential Huffman DCT — ``functions/jpeg.py``);
+sample_frames has a REAL pure-NumPy path for uncompressed YUV4MPEG2
+video (C420/Cmono, fixed-stride offset sampling) — each
+round-trip-tested through the mapInPandas kernel against an in-repo
+encoder twin.  The container has no image/audio libraries, so the
+remaining compressed paths (WebP, progressive JPEG, MP4/MKV codec
+video) are clearly-marked NotImplementedError — the Spark-side
+plumbing (schema, Arrow batch shape, mapInPandas signatures,
+partitioning, error channel) is real and tested, and swapping in
+PIL/ffmpeg is a local change inside one pandas function.
 """
 
 from __future__ import annotations
@@ -299,10 +301,10 @@ def decode_image(media: DataFrame, on_error: str = "raise") -> DataFrame:
 
     REAL pure-NumPy decode paths (no imaging library needed): BMP
     (uncompressed 24/32-bit BI_RGB, top-down or bottom-up), binary PPM
-    (P6), and PNG (non-interlaced 8-bit gray/RGB/RGBA via stdlib
-    zlib).  JPEG/WebP still raise NotImplementedError inside the
-    kernel — libjpeg/PIL are absent in this environment; plugging them
-    in is a local change inside this one pandas function.
+    (P6), PNG (non-interlaced 8-bit gray/RGB/RGBA via stdlib zlib),
+    and baseline JPEG (SOF0 Huffman sequential — see
+    ``functions/jpeg.py``).  WebP and progressive JPEG still raise
+    NotImplementedError inside the kernel.
 
     ``on_error``: ``"raise"`` (default — one unsupported/corrupt blob
     fails the job, strictness intended for validated inputs) or
@@ -330,10 +332,14 @@ def decode_image(media: DataFrame, on_error: str = "raise") -> DataFrame:
                         px = _decode_ppm(b)
                     elif b[:8] == b"\x89PNG\r\n\x1a\n":
                         px = _decode_png(b)
+                    elif b[:2] == b"\xff\xd8":
+                        from graph_mining_spark.functions.jpeg import decode_jpeg
+
+                        px = decode_jpeg(b)
                     else:
                         raise NotImplementedError(
-                            f"unsupported image magic {b[:4]!r}: only BMP/PPM/PNG "
-                            "decode in this environment (JPEG needs libjpeg/PIL)"
+                            f"unsupported image magic {b[:4]!r}: only BMP/PPM/PNG/"
+                            "baseline-JPEG decode in this environment"
                         )
                 except Exception as exc:  # noqa: BLE001 — error-channel mode
                     if not null_mode:

@@ -329,13 +329,15 @@ def test_decode_image_error_channel(spark):
     media = spark.createDataFrame(
         [
             (0, bytearray(good), "image/png", len(good)),
-            (1, bytearray(b"\xff\xd8\xff\xe0 not-actually-decodable"), "image/jpeg", 27),
+            (1, bytearray(b"RIFF....WEBP not-decodable-here"), "image/webp", 31),
+            (2, bytearray(b"\xff\xd8\xff\xe0 truncated-jpeg"), "image/jpeg", 19),
         ],
         "media_id long, media binary, format string, n_bytes long",
     )
     out = {r["media_id"]: r for r in decode_image(media, on_error="null").collect()}
     assert out[0]["error"] is None and out[0]["channels"] == 3
     assert out[1]["pixels"] is None and "unsupported image magic" in out[1]["error"]
+    assert out[2]["pixels"] is None and out[2]["error"]  # corrupt JPEG isolated too
 
 
 def test_quality_scores(spark):
@@ -482,3 +484,78 @@ def test_sample_frames_error_channel(spark):
     out = {r["media_id"]: r for r in sample_frames(media, on_error="null").collect()}
     assert out[0]["error"] is None and out[0]["frame_index"] == 0
     assert out[1]["pixels"] is None and "unsupported video magic" in out[1]["error"]
+
+
+def test_jpeg_codec_roundtrip():
+    """Baseline JPEG codec (pure NumPy, functions/jpeg.py): the entropy
+    layer is lossless, so decode_jpeg_coefficients must recover the
+    encoder's quantized DCT blocks EXACTLY (independently recomputed
+    here); pixel round-trips carry only the bounded float-DCT/quantize
+    error."""
+    import numpy as np
+
+    from graph_mining_spark.functions.jpeg import (
+        _DCT,
+        _quality_scale,
+        STD_QUANT_LUMA,
+        decode_jpeg,
+        decode_jpeg_coefficients,
+        encode_jpeg,
+    )
+
+    h, w = 24, 33  # non-multiples of 8/16 exercise edge padding
+    y, x = np.mgrid[0:h, 0:w]
+    gray = ((x * 5 + y * 9) % 256).astype(np.uint8)
+
+    # exact gate: independently recompute the quantized coefficients
+    b = encode_jpeg(gray, quality=85)
+    _hdr, coeffs = decode_jpeg_coefficients(b)
+    q = _quality_scale(STD_QUANT_LUMA, 85).astype(np.float64).reshape(8, 8)
+    pp = np.zeros((-(-h // 8) * 8, -(-w // 8) * 8))
+    pp[:h, :w] = gray.astype(np.float64) - 128.0
+    pp[h:, :w] = pp[h - 1 : h, :w]
+    pp[:, w:] = pp[:, w - 1 : w]
+    blocks = pp.reshape(-1, 8, pp.shape[1] // 8, 8).transpose(0, 2, 1, 3)
+    want = np.round(np.einsum("ij,yxjk,kl->yxil", _DCT, blocks, _DCT.T) / q).astype(np.int32)
+    np.testing.assert_array_equal(coeffs[1], want)
+
+    # bounded pixel error, gray and RGB, 4:4:4 and 4:2:0 (q85 on the
+    # wrapping sawtooth rings at the 255->0 edges, so the tight bound
+    # uses q95; the q85 stream above exists to exercise longer
+    # zero-runs in the exact coefficient gate)
+    assert np.abs(decode_jpeg(encode_jpeg(gray, quality=95)).astype(int) - gray.astype(int)).max() <= 8
+    rgb = np.stack([(x * 7) % 256, (y * 11) % 256, ((x + y) * 3) % 256], axis=-1).astype(np.uint8)
+    out444 = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert out444.shape == (h, w, 3)
+    assert np.abs(out444.astype(int) - rgb.astype(int)).max() <= 8
+    out420 = decode_jpeg(encode_jpeg(rgb, quality=90, subsample=True))
+    assert np.abs(out420.astype(int) - rgb.astype(int)).mean() <= 8.0
+    # a DCT-smooth image at quality=100 is bit-exact
+    smooth = np.stack([x * 2, y * 2, x + y], axis=-1).astype(np.uint8)
+    np.testing.assert_array_equal(decode_jpeg(encode_jpeg(smooth, quality=100)), smooth)
+
+
+def test_jpeg_through_decode_image_kernel(spark):
+    """JPEG blobs decode through the mapInPandas kernel like the other
+    formats; progressive JPEG (SOF2) refuses with a clear error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from graph_mining_spark.functions.jpeg import encode_jpeg
+
+    h, w = 16, 16
+    y, x = np.mgrid[0:h, 0:w]
+    img = np.stack([x * 8, y * 8, (x + y) * 4], axis=-1).astype(np.uint8)
+    good = encode_jpeg(img, quality=100)
+    # minimal progressive-looking stream: SOI + SOF2 marker
+    prog = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00" + b"\xff\xd9"
+    media = spark.createDataFrame(
+        [(0, bytearray(good), "image/jpeg", len(good)), (1, bytearray(prog), "image/jpeg", len(prog))],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    r = decode_image(media.filter("media_id = 0")).collect()[0]
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    got = np.frombuffer(bytes(r["pixels"]), dtype=np.uint8).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
+    with _pytest.raises(Exception, match="SOF0"):
+        decode_image(media.filter("media_id = 1")).collect()
