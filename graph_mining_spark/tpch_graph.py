@@ -61,6 +61,24 @@ def coparts_edges(spark: SparkSession, sf_dir: str, order_mod: int = 20) -> Data
     )
 
 
+def region_clique_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjoint-clique fixture: nations of the same region form a
+    unit-weight clique (25 vertices, 5 disjoint K5s) — the provable
+    optimum of clique-seeking objectives (modularity / coconductance /
+    pivot) is the region partition, which gives those clusterers a
+    closed-form DuckDB twin (REGION_CLIQUE_LABELS_SQL)."""
+    n = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), F.col("n_regionkey").alias("r")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    return a.join(
+        b, (F.col("a.r") == F.col("b.r")) & (F.col("a.k") < F.col("b.k"))
+    ).select(
+        F.col("a.k").alias("src"), F.col("b.k").alias("dst"), F.lit(1.0).alias("weight")
+    )
+
+
 def nations_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiny deterministic graph: consecutive nations (by nationkey)
     within each region form a path — 25 vertices, 5 components."""
@@ -108,6 +126,16 @@ COPARTS_E_SQL = """
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   WHERE a.l_orderkey % 20 = 0
   GROUP BY 1, 2
+"""
+
+# min-member canonical labels of the region-clique partition — the
+# provable optimum twin for clique-seeking clusterers on
+# region_clique_edges
+REGION_CLIQUE_LABELS_SQL = """
+  SELECT CAST(n.n_nationkey AS BIGINT) AS vid, CAST(m.m AS BIGINT) AS label
+  FROM nation n
+  JOIN (SELECT n_regionkey AS rr, min(n_nationkey) AS m FROM nation GROUP BY 1) m
+    ON n.n_regionkey = m.rr
 """
 
 NATIONS_E_SQL = """
