@@ -5,11 +5,14 @@ BI_RGB), binary PPM (P6), PNG (stdlib zlib inflate + per-scanline
 unfiltering; 8-bit gray/RGB/RGBA, non-interlaced), and baseline JPEG
 (ITU-T.81 sequential Huffman DCT — ``functions/jpeg.py``);
 sample_frames has a REAL pure-NumPy path for uncompressed YUV4MPEG2
-video (C420/Cmono, fixed-stride offset sampling) — each
-round-trip-tested through the mapInPandas kernel against an in-repo
-encoder twin.  The container has no image/audio libraries, so the
-remaining compressed paths (WebP, progressive JPEG, MP4/MKV codec
-video) are clearly-marked NotImplementedError — the Spark-side
+video (C420/Cmono, fixed-stride offset sampling); decode_audio has a
+REAL pure-NumPy RIFF/WAVE parser (integer PCM 8/16/24/32-bit, IEEE
+float32/64, WAVE_FORMAT_EXTENSIBLE) with audio_features (duration /
+RMS / peak / zero-crossing rate) on top — each round-trip-tested
+through the mapInPandas kernel against an in-repo encoder twin.  The
+container has no image/audio libraries, so the remaining compressed
+paths (WebP, progressive JPEG, MP4/MKV codec video, MP3/AAC/OGG/FLAC
+audio) are clearly-marked NotImplementedError — the Spark-side
 plumbing (schema, Arrow batch shape, mapInPandas signatures,
 partitioning, error channel) is real and tested, and swapping in
 PIL/ffmpeg is a local change inside one pandas function.
@@ -490,3 +493,199 @@ def sample_frames(
     return media.mapInPandas(
         kernel, schema=SAMPLED_ERR_SCHEMA if null_mode else SAMPLED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM + IEEE-float decode (pure NumPy, no audio library)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = "media_id long, sample_rate int, channels int, n_samples long, samples binary"
+AUDIO_ERR_SCHEMA = AUDIO_SCHEMA + ", error string"
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, duration_s double, rms double, peak double, zero_crossing_rate double"
+)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Serialize samples as a RIFF/WAVE blob — the test-side twin of
+    ``decode_audio`` (pure NumPy, no audio library).
+
+    ``samples``: (n,) or (n, channels).  dtype picks the container
+    format: uint8 → PCM8, int16 → PCM16, int32 → PCM32,
+    float32/float64 → IEEE-float WAV (format code 3, float32).
+    """
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError("samples must be (n,) or (n, channels)")
+    if a.dtype == np.uint8:
+        fmt_code, width, payload = 1, 1, a.astype("<u1").tobytes()
+    elif a.dtype == np.int16:
+        fmt_code, width, payload = 1, 2, a.astype("<i2").tobytes()
+    elif a.dtype == np.int32:
+        fmt_code, width, payload = 1, 4, a.astype("<i4").tobytes()
+    elif a.dtype in (np.float32, np.float64):
+        fmt_code, width, payload = 3, 4, a.astype("<f4").tobytes()
+    else:
+        raise ValueError(f"unsupported sample dtype {a.dtype}")
+    n, ch = a.shape
+    fmt = struct.pack(
+        "<HHIIHH", fmt_code, ch, sample_rate, sample_rate * ch * width, ch * width, width * 8
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(b: bytes):
+    """RIFF/WAVE blob → (float32 samples (n, channels) in [-1, 1],
+    sample_rate).  Chunk-walking parser: handles PCM 8/16/24/32-bit
+    (format 1), IEEE float32/64 (format 3), and WAVE_FORMAT_EXTENSIBLE
+    (0xFFFE, resolved through the SubFormat GUID's leading code).
+    Unknown chunks (LIST, fact, cue...) are skipped by size, as the
+    RIFF contract requires; chunks are word-aligned (odd sizes pad)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, end = 12, min(len(b), 8 + struct.unpack("<I", b[4:8])[0])
+    fmt_code = channels = rate = bits = None
+    data = None
+    while pos + 8 <= end:
+        tag = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            if size < 16:
+                raise ValueError("fmt chunk too short")
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_code == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+                if size < 40:
+                    raise ValueError("extensible fmt chunk too short")
+                (fmt_code,) = struct.unpack("<H", body[24:26])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt_code is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if channels < 1:
+        raise ValueError("invalid channel count")
+    if fmt_code == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, "<u1").astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(data, np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3).astype(np.int32)
+            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(data, "<i4").astype(np.float32) / float(1 << 31)
+        else:
+            raise NotImplementedError(f"PCM bit depth {bits} not supported")
+    elif fmt_code == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, "<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(data, "<f8").astype(np.float32)
+        else:
+            raise NotImplementedError(f"float bit depth {bits} not supported")
+    else:
+        raise NotImplementedError(
+            f"WAV format code {fmt_code} not supported (PCM and IEEE float only; "
+            "compressed codecs need an audio library absent in this environment)"
+        )
+    n = len(x) // channels
+    return x[: n * channels].reshape(n, channels), int(rate)
+
+
+def decode_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Decode opaque audio blobs to normalized float32 sample buffers.
+
+    REAL pure-NumPy decode path for RIFF/WAVE: integer PCM at
+    8/16/24/32 bits, IEEE float32/64, and WAVE_FORMAT_EXTENSIBLE
+    headers.  Compressed codecs (MP3/AAC/OGG/FLAC) raise
+    NotImplementedError inside the kernel — no audio library in this
+    environment; plugging one in is a local change inside this one
+    pandas function, the Spark-side contract is identical.
+
+    ``on_error`` mirrors decode_image: ``"raise"`` (default) or
+    ``"null"`` (null samples + ``error`` text per failed blob).
+
+    Output rows: (media_id, sample_rate, channels, n_samples, samples)
+    with samples = interleaved little-endian float32 in [-1, 1].
+    """
+    if on_error not in ("raise", "null"):
+        raise ValueError("on_error must be 'raise' or 'null'")
+    null_mode = on_error == "null"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                try:
+                    b = bytes(blob)
+                    if b[:4] != b"RIFF":
+                        raise NotImplementedError(
+                            f"unsupported audio magic {b[:4]!r}: only RIFF/WAVE "
+                            "decode in this environment (codecs need an audio library)"
+                        )
+                    x, rate = _decode_wav(b)
+                except Exception as exc:  # noqa: BLE001 — error-channel mode
+                    if not null_mode:
+                        raise
+                    rows.append((int(mid), 0, 0, 0, None, f"{type(exc).__name__}: {exc}"))
+                    continue
+                row = (int(mid), rate, x.shape[1], x.shape[0], x.astype("<f4").tobytes())
+                rows.append(row + (None,) if null_mode else row)
+            cols = ["media_id", "sample_rate", "channels", "n_samples", "samples"]
+            if null_mode:
+                cols.append("error")
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(kernel, schema=AUDIO_ERR_SCHEMA if null_mode else AUDIO_SCHEMA)
+
+
+def audio_features(decoded: DataFrame) -> DataFrame:
+    """Per-clip scalar features over ``decode_audio`` output: duration,
+    RMS energy, peak amplitude, and zero-crossing rate — each a
+    vectorized NumPy pass over the channel-averaged waveform inside one
+    Arrow batch (no per-sample Python).  Rows whose decode failed
+    (null ``samples`` from the error channel) are passed through with
+    null features rather than dropped."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["samples"] is None or r["n_samples"] == 0:
+                    rows.append((int(r["media_id"]), None, None, None, None))
+                    continue
+                x = np.frombuffer(r["samples"], "<f4").reshape(-1, int(r["channels"]))
+                mono = x.mean(axis=1, dtype=np.float64)
+                dur = float(len(mono)) / float(r["sample_rate"])
+                rms = float(np.sqrt(np.mean(mono * mono))) if len(mono) else 0.0
+                peak = float(np.max(np.abs(mono))) if len(mono) else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if len(mono) > 1
+                    else 0.0
+                )
+                rows.append((int(r["media_id"]), dur, rms, peak, zcr))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "duration_s", "rms", "peak", "zero_crossing_rate"],
+            )
+
+    return decoded.mapInPandas(kernel, schema=AUDIO_FEATURE_SCHEMA)

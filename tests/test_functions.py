@@ -559,3 +559,101 @@ def test_jpeg_through_decode_image_kernel(spark):
     assert np.abs(got.astype(int) - img.astype(int)).max() <= 2
     with _pytest.raises(Exception, match="SOF0"):
         decode_image(media.filter("media_id = 1")).collect()
+
+
+def test_decode_audio_wav_roundtrip(spark):
+    """WAV decode (pure-NumPy RIFF parser): integer PCM at 8/16/24/32
+    bits and IEEE float32 must round-trip through the mapInPandas
+    kernel against the in-repo encoder twin, normalized to [-1, 1]
+    float32 within each depth's quantization tolerance."""
+    import numpy as np
+
+    from graph_mining_spark.functions.multimodal import (
+        audio_features,
+        decode_audio,
+        encode_wav,
+    )
+
+    sr = 8000
+    t = np.arange(sr // 4) / sr  # 0.25 s
+    wave = 0.5 * np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([wave, -wave], axis=1)
+
+    blobs = {
+        0: (encode_wav((wave * 32767).astype(np.int16), sr), 1, 2 / 32768),
+        1: (encode_wav(((wave + 1) * 127.5).astype(np.uint8), sr), 1, 2 / 128),
+        2: (encode_wav((stereo * (2**31 - 1)).astype(np.int32), sr), 2, 1e-6),
+        3: (encode_wav(stereo.astype(np.float32), sr), 2, 1e-7),
+    }
+    media = spark.createDataFrame(
+        [(mid, bytearray(b), "audio/wav", len(b)) for mid, (b, _, _) in blobs.items()],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    decoded = decode_audio(media)
+    out = {r["media_id"]: r for r in decoded.collect()}
+    for mid, (_, ch, tol) in blobs.items():
+        r = out[mid]
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == (sr, ch, len(wave))
+        got = np.frombuffer(bytes(r["samples"]), "<f4").reshape(-1, ch)
+        want = stereo if ch == 2 else wave[:, None]
+        np.testing.assert_allclose(got, want, atol=tol + 1e-7)
+
+    # 24-bit PCM has no encoder dtype; build the blob by hand
+    import struct
+
+    v = np.clip((wave * (2**23 - 1)).astype(np.int64), -(1 << 23), (1 << 23) - 1)
+    raw = bytearray()
+    for s in v:
+        raw += struct.pack("<i", int(s))[:3]
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 3, 3, 24)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + bytes(raw)
+    wav24 = b"RIFF" + struct.pack("<I", len(body)) + body
+    from graph_mining_spark.functions.multimodal import _decode_wav
+
+    x24, r24 = _decode_wav(wav24)
+    assert r24 == sr
+    np.testing.assert_allclose(x24[:, 0], wave, atol=2 / (1 << 23))
+
+    # features: duration/RMS/peak/ZCR of the sine match closed forms
+    feats = {r["media_id"]: r for r in audio_features(decoded).collect()}
+    f = feats[0]
+    assert abs(f["duration_s"] - 0.25) < 1e-9
+    assert abs(f["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(f["peak"] - 0.5) < 1e-3
+    # 440 Hz sine crosses zero ~880 times/s -> rate ~ 880/8000
+    assert abs(f["zero_crossing_rate"] - 880 / sr) < 0.01
+    # stereo clip averages to silence across channels -> rms ~ 0
+    assert feats[3]["rms"] < 1e-6
+
+
+def test_decode_audio_error_channel(spark):
+    """on_error='null' isolates non-WAV blobs; audio_features passes
+    the failed row through with null features."""
+    import numpy as np
+
+    from graph_mining_spark.functions.multimodal import (
+        audio_features,
+        decode_audio,
+        encode_wav,
+    )
+
+    good = encode_wav(np.zeros(100, dtype=np.int16), 8000)
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(good), "audio/wav", len(good)),
+            (1, bytearray(b"\xffMP3garbage"), "audio/mpeg", 11),
+        ],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unsupported audio magic"):
+        decode_audio(media).collect()
+    decoded = decode_audio(media, on_error="null")
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert rows[0]["error"] is None and rows[0]["n_samples"] == 100
+    assert rows[1]["samples"] is None and "unsupported audio magic" in rows[1]["error"]
+    feats = {r["media_id"]: r for r in audio_features(decoded).collect()}
+    assert feats[0]["rms"] == 0.0 and feats[0]["duration_s"] == 100 / 8000
+    assert feats[1]["rms"] is None
