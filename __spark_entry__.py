@@ -501,10 +501,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["best_neighbor_tiebreak_bipartite"] = _tiebreak
 
-    # FDE point-cloud sketches (Chamfer-similarity embeddings) — numpy
-    # seeded RNG has no SQL twin; kernel parity + Chamfer contract gated
-    # in tests/test_fde.py (rows-only here).  Clouds = embedding rows
-    # grouped by their synthetic label column.
+    # FDE point-cloud sketches (Chamfer-similarity embeddings) — the
+    # seeded Philox hyperplanes are deterministic constants, so the
+    # DuckDB twin embeds them as literals and recomputes the full
+    # pipeline in SQL (_fde_oracle_sql); kernel parity + Chamfer
+    # contract additionally gated in tests/test_fde.py.  Clouds =
+    # embedding rows grouped by their synthetic label column.
     def _fde(s, d):
         from graph_mining_spark.functions.fde import FdeConfig, fde_encode
 
@@ -847,7 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hac_labels_nations", "best_neighbor_tiebreak_bipartite",
         "ann_ivf_top3", "louvain_modularity_labels",
         "affinity_sized_bipartite", "pivot_coconductance_cliques",
-        # rows-only, pytest-gated (1)
+        # oracled via embedded-literal hyperplane SQL twin (r5)
         "fde_embeddings_by_label",
     ]
     assert len(order) == 50, len(order)
@@ -903,6 +905,102 @@ def _maximal_clique_sql(max_k: int = 12) -> str:
             f" GROUP BY s.u HAVING count(*) = {k})"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(levels)
+
+
+def _fde_oracle_sql() -> str:
+    """Independent DuckDB twin of fde_embeddings_by_label: recomputes
+    the full FDE pipeline (dimension=64, 2 repetitions, 3 SimHash
+    projections, average encoding, fill_empty_partitions) in SQL.
+
+    The seeded Philox Gaussian hyperplanes are deterministic module
+    constants, so they are embedded as a 2*3*64-row VALUES literal —
+    the SQL then does everything else itself: per-point dot products,
+    sign bits, the Gray-code fold (for k=3 the partition index unrolls
+    to 4*b0 + 2*(b0 XOR b1) + (b0 XOR b1 XOR b2); XOR of 0/1 bits is
+    (a+b)%2), per-(rep, partition, dim) AVERAGEs, nearest-point fill of
+    empty partitions by minimum SimHash bit disagreement with ties to
+    the first point in canonical order (the engine encodes points in
+    lexicographic-by-vector order — reproduced here by the rn window),
+    and the final L2 over the 2*8*64 = 1024 blocks.  Fill targets are
+    the bits of gray_to_binary(p) = p XOR (p >> 1)."""
+    from graph_mining_spark.functions.fde import _simhash_matrix
+
+    vals = []
+    for rep in range(2):
+        m = _simhash_matrix(1 + rep, 64, 3)  # cfg.seed=1 (default) + rep
+        for d in range(64):
+            for j in range(3):
+                vals.append(f"({rep},{j},{d},{m[d, j]!r})")
+    hyper = "hyper(rep, j, d, h) AS (VALUES " + ",".join(vals) + ")"
+    tgt_rows = []
+    for p in range(8):
+        binary = p ^ (p >> 1)
+        t0, t1, t2 = (binary >> 2) & 1, (binary >> 1) & 1, binary & 1
+        tgt_rows.append(f"({p},{t0},{t1},{t2})")
+    tgt = "tgt(part, t0, t1, t2) AS (VALUES " + ",".join(tgt_rows) + ")"
+    return f"""
+      WITH {hyper},
+      {tgt},
+      pts AS MATERIALIZED (
+        SELECT CAST(label AS BIGINT) AS doc_id, CAST(embedding AS DOUBLE[]) AS v,
+               row_number() OVER (PARTITION BY label ORDER BY CAST(embedding AS DOUBLE[])) AS rn
+        FROM embeddings
+      ),
+      dots AS MATERIALIZED (
+        SELECT p.doc_id, p.rn, h.rep, h.j, sum(p.v[h.d + 1] * h.h) AS dot
+        FROM pts p CROSS JOIN hyper h
+        GROUP BY 1, 2, 3, 4
+      ),
+      pidx AS MATERIALIZED (
+        SELECT doc_id, rn, rep, b0, b1, b2,
+               4 * b0 + 2 * ((b0 + b1) % 2) + ((b0 + b1 + b2) % 2) AS part
+        FROM (
+          SELECT doc_id, rn, rep,
+                 max(CASE WHEN j = 0 AND dot > 0 THEN 1 ELSE 0 END) AS b0,
+                 max(CASE WHEN j = 1 AND dot > 0 THEN 1 ELSE 0 END) AS b1,
+                 max(CASE WHEN j = 2 AND dot > 0 THEN 1 ELSE 0 END) AS b2
+          FROM dots GROUP BY 1, 2, 3
+        )
+      ),
+      dimvals AS (
+        SELECT x.doc_id, x.rep, x.part, g.d, avg(p.v[g.d + 1]) AS val
+        FROM pidx x JOIN pts p USING (doc_id, rn)
+        CROSS JOIN (SELECT CAST(range AS INT) AS d FROM range(64)) g
+        GROUP BY 1, 2, 3, 4
+      ),
+      ne AS (SELECT doc_id, sum(val * val) AS s FROM dimvals GROUP BY 1),
+      docs AS (SELECT DISTINCT doc_id FROM pts),
+      empties AS (
+        SELECT a.doc_id, a.rep, a.part
+        FROM (SELECT doc_id, r.rep, q.part FROM docs
+              CROSS JOIN (SELECT CAST(range AS INT) AS rep FROM range(2)) r
+              CROSS JOIN (SELECT CAST(range AS INT) AS part FROM range(8)) q) a
+        LEFT JOIN (SELECT DISTINCT doc_id, rep, part FROM pidx) pr
+          USING (doc_id, rep, part)
+        WHERE pr.doc_id IS NULL
+      ),
+      cand AS (
+        SELECT e.doc_id, e.rep, e.part, x.rn,
+               row_number() OVER (
+                 PARTITION BY e.doc_id, e.rep, e.part
+                 ORDER BY (CASE WHEN x.b0 <> t.t0 THEN 1 ELSE 0 END
+                         + CASE WHEN x.b1 <> t.t1 THEN 1 ELSE 0 END
+                         + CASE WHEN x.b2 <> t.t2 THEN 1 ELSE 0 END) ASC,
+                          x.rn ASC) AS k
+        FROM empties e JOIN tgt t USING (part)
+        JOIN pidx x ON x.doc_id = e.doc_id AND x.rep = e.rep
+      ),
+      fill AS (
+        SELECT c.doc_id, sum(sq.s2) AS s
+        FROM cand c
+        JOIN (SELECT doc_id, rn, list_sum(list_transform(v, y -> y * y)) AS s2
+              FROM pts) sq USING (doc_id, rn)
+        WHERE c.k = 1 GROUP BY 1
+      )
+      SELECT d.doc_id, CAST(1024 AS BIGINT) AS fde_dim,
+             round(sqrt(coalesce(ne.s, 0) + coalesce(f.s, 0)), 4) AS fde_l2
+      FROM docs d LEFT JOIN ne USING (doc_id) LEFT JOIN fill f USING (doc_id)
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1452,6 +1550,8 @@ def oracle_sql() -> dict[str, str]:
     # IVF at n_lists=1 is exhaustive by construction (the single cell
     # holds every base vector), so the brute-force twin gates it too
     o["ann_ivf_top3"] = o["ann_cosine_top3"]
+
+    o["fde_embeddings_by_label"] = _fde_oracle_sql()
 
     o["relational_q1"] = """
       SELECT l_returnflag, l_linestatus,

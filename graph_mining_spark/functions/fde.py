@@ -166,12 +166,22 @@ def fde_encode(
 ) -> DataFrame:
     """Distributed FDE: ``clouds`` has one row per POINT
     (id, array<float>); output one row per cloud (id, fde array<double>).
+
+    Points are put in CANONICAL (lexicographic-by-vector) order before
+    encoding: Spark row order within a group is undefined, and both the
+    floating-point summation order and the fill-empty-partition argmin
+    tie-break (fixed_dimensional_encoding.cc:276-296 takes the FIRST
+    minimum in point order) depend on it — the canonical order makes
+    the sketch a pure function of the point SET, reproducible across
+    runs and partitionings.  ``fde_encode_cloud`` itself stays
+    order-honoring for exact kernel parity with the reference.
     """
 
     def run(pdf):
         import pandas as pd
 
         pts = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+        pts = pts[np.lexsort(pts.T[::-1])]
         fde = fde_encode_cloud(pts, cfg)
         return pd.DataFrame({id_col: [pdf[id_col].iloc[0]], "fde": [fde.tolist()]})
 
