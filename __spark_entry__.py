@@ -930,7 +930,8 @@ def _fde_oracle_sql() -> str:
         m = _simhash_matrix(1 + rep, 64, 3)  # cfg.seed=1 (default) + rep
         for d in range(64):
             for j in range(3):
-                vals.append(f"({rep},{j},{d},{m[d, j]!r})")
+                # float() first: numpy 2.x reprs scalars as np.float64(...)
+                vals.append(f"({rep},{j},{d},{float(m[d, j])!r})")
     hyper = "hyper(rep, j, d, h) AS (VALUES " + ",".join(vals) + ")"
     tgt_rows = []
     for p in range(8):

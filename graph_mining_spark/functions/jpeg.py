@@ -260,6 +260,9 @@ def _parse_jpeg(b: bytes):
     while pos < len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -5,7 +5,8 @@ BI_RGB), binary PPM (P6), PNG (stdlib zlib inflate + per-scanline
 unfiltering; 8-bit gray/RGB/RGBA, non-interlaced), and baseline JPEG
 (ITU-T.81 sequential Huffman DCT — ``functions/jpeg.py``);
 sample_frames has a REAL pure-NumPy path for uncompressed YUV4MPEG2
-video (C420/Cmono, fixed-stride offset sampling); decode_audio has a
+video (C420/Cmono, header-walk frame sampling that never reads a
+skipped frame's pixels); decode_audio has a
 REAL pure-NumPy RIFF/WAVE parser (integer PCM 8/16/24/32-bit, IEEE
 float32/64, WAVE_FORMAT_EXTENSIBLE) with audio_features (duration /
 RMS / peak / zero-crossing rate) on top — each round-trip-tested
@@ -27,6 +28,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = "media_id long, media binary, format string, n_bytes long"
+
+
+def _safe_media_id(v):
+    """Coerce a media_id cell to int or None: Arrow hands a nullable
+    long column to pandas as floats-with-NaN (or objects with None),
+    and the error-channel except handlers must not themselves raise on
+    the id while reporting a bad row."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return None
+
+
 FEATURE_SCHEMA = "media_id long, n_bytes long, magic string, checksum string, feature_dim int"
 
 
@@ -327,6 +341,7 @@ def decode_image(media: DataFrame, on_error: str = "raise") -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                mid = _safe_media_id(mid)
                 try:
                     b = bytes(blob)
                     if b[:2] == b"BM":
@@ -347,11 +362,11 @@ def decode_image(media: DataFrame, on_error: str = "raise") -> DataFrame:
                 except Exception as exc:  # noqa: BLE001 — error-channel mode
                     if not null_mode:
                         raise
-                    rows.append((int(mid), 0, 0, 0, None, f"{type(exc).__name__}: {exc}"))
+                    rows.append((mid, 0, 0, 0, None, f"{type(exc).__name__}: {exc}"))
                     continue
                 h, w = px.shape[:2]
                 ch = 1 if px.ndim == 2 else px.shape[2]
-                row = (int(mid), w, h, ch, px.tobytes())
+                row = (mid, w, h, ch, px.tobytes())
                 rows.append(row + (None,) if null_mode else row)
             cols = ["media_id", "width", "height", "channels", "pixels"]
             if null_mode:
@@ -392,9 +407,11 @@ def encode_y4m(frames, fps=(30, 1), colorspace: str = "C420") -> bytes:
 
 def _parse_y4m(b: bytes):
     """YUV4MPEG2 stream → (width, height, fps_num, fps_den, colorspace,
-    frame_size_bytes, first_frame_offset).  Frames follow at fixed
-    stride (len(b"FRAME\\n") + frame_size) — uncompressed planar YUV,
-    so sampling frame i is pure offset arithmetic, no sequential scan."""
+    frame_size_bytes, first_frame_offset).  Each frame is a variable
+    ``FRAME[ params]\\n`` header (YUV4MPEG2 allows optional per-frame
+    parameters) followed by exactly frame_size_bytes of uncompressed
+    planar YUV — the sampler walks headers but never reads skipped
+    frames' pixels."""
     if not b.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
     nl = b.index(b"\n")
@@ -437,8 +454,11 @@ def sample_frames(
     """Sample every ``every_n``-th frame from video blobs.
 
     REAL pure-NumPy path for uncompressed YUV4MPEG2 (.y4m, C420 and
-    Cmono) — fixed frame stride makes each sample an offset slice, no
-    per-frame scan.  Compressed containers (MP4/MKV/AVI codecs) raise
+    Cmono) — the kernel walks the per-frame headers (YUV4MPEG2 allows
+    optional per-frame parameters after ``FRAME``, so headers are
+    variable-length) but only ever slices the sampled frames' pixel
+    bytes; skipped frames cost one newline search each, never a pixel
+    read.  Compressed containers (MP4/MKV/AVI codecs) raise
     NotImplementedError inside the kernel — ffmpeg is absent in this
     environment; plugging it in is a local change inside this one
     pandas function, the Spark-side contract (schema, Arrow batching,
@@ -462,6 +482,10 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                mid = _safe_media_id(mid)
+                # buffer per blob: a blob that fails mid-stream must
+                # contribute ONE error row, not partial frames + error
+                blob_rows = []
                 try:
                     b = bytes(blob)
                     if not b.startswith(b"YUV4MPEG2"):
@@ -470,21 +494,28 @@ def sample_frames(
                             "YUV4MPEG2 samples in this environment (codecs need ffmpeg)"
                         )
                     w, h, _fn, _fd, cs, fsz, off = _parse_y4m(b)
-                    stride = len(b"FRAME\n") + fsz
-                    n_frames = (len(b) - off) // stride
-                    for i in range(0, n_frames, every_n):
-                        start = off + i * stride
-                        if b[start : start + 6] != b"FRAME\n":
+                    pos, i = off, 0
+                    while pos < len(b):
+                        if b[pos : pos + 5] != b"FRAME":
                             raise ValueError(f"bad FRAME marker at frame {i}")
-                        px = b[start + 6 : start + 6 + fsz]
-                        row = (int(mid), i, w, h, cs, px)
-                        rows.append(row + (None,) if null_mode else row)
+                        # optional per-frame parameters end at the newline
+                        start = b.index(b"\n", pos) + 1
+                        px = b[start : start + fsz]
+                        if len(px) < fsz:
+                            raise ValueError(f"truncated frame {i}")
+                        if i % every_n == 0:
+                            row = (mid, i, w, h, cs, px)
+                            blob_rows.append(row + (None,) if null_mode else row)
+                        pos = start + fsz
+                        i += 1
                 except Exception as exc:  # noqa: BLE001 — error-channel mode
                     if not null_mode:
                         raise
                     rows.append(
-                        (int(mid), -1, 0, 0, None, None, f"{type(exc).__name__}: {exc}")
+                        (mid, -1, 0, 0, None, None, f"{type(exc).__name__}: {exc}")
                     )
+                    continue
+                rows.extend(blob_rows)
             cols = ["media_id", "frame_index", "width", "height", "colorspace", "pixels"]
             if null_mode:
                 cols.append("error")
@@ -632,6 +663,7 @@ def decode_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                mid = _safe_media_id(mid)
                 try:
                     b = bytes(blob)
                     if b[:4] != b"RIFF":
@@ -643,9 +675,9 @@ def decode_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
                 except Exception as exc:  # noqa: BLE001 — error-channel mode
                     if not null_mode:
                         raise
-                    rows.append((int(mid), 0, 0, 0, None, f"{type(exc).__name__}: {exc}"))
+                    rows.append((mid, 0, 0, 0, None, f"{type(exc).__name__}: {exc}"))
                     continue
-                row = (int(mid), rate, x.shape[1], x.shape[0], x.astype("<f4").tobytes())
+                row = (mid, rate, x.shape[1], x.shape[0], x.astype("<f4").tobytes())
                 rows.append(row + (None,) if null_mode else row)
             cols = ["media_id", "sample_rate", "channels", "n_samples", "samples"]
             if null_mode:

@@ -187,6 +187,15 @@ def forest_components(
     p = verts.join(p0, "vid", "left").select(
         "vid", F.coalesce("p", F.col("vid")).alias("p")
     )
+    # clamp pointers whose target is OUTSIDE the vertex table to self —
+    # connected_components(vertices=...) ignores edges through unknown
+    # endpoints (they never enter the label table), and the doubling
+    # self-join below is inner, so an unclamped dangling pointer would
+    # silently DROP its row instead
+    known = verts.select(F.col("vid").alias("p"), F.lit(True).alias("_k"))
+    p = p.join(known, "p", "left").select(
+        "vid", F.when(F.col("_k").isNotNull(), F.col("p")).otherwise(F.col("vid")).alias("p")
+    )
     pp = p.select(F.col("vid").alias("p"), F.col("p").alias("_pp"))
     p = p.join(pp, "p", "left").select(
         "vid",

@@ -118,3 +118,16 @@ def test_cc_broadcast_tail_matches_shuffle_path(spark):
     bcast = _labels(connected_components(e, broadcast_threshold=1 << 20))
     shuffle = _labels(connected_components(e, broadcast_threshold=0))
     assert bcast == shuffle
+
+
+def test_forest_dangling_pointer_target_not_dropped(spark):
+    # a pointer whose target is OUTSIDE the vertex table must clamp to
+    # self (connected_components ignores edges through unknown
+    # endpoints), not silently drop the vertex in the doubling join —
+    # and two vertices sharing the same unknown target must NOT merge
+    pointers = [(0, 1), (1, 0), (2, 0), (5, 777), (6, 777)]
+    best, verts = _forest(spark, pointers, [0, 1, 2, 5, 6])
+    got = _labels(forest_components(best, verts))
+    want = _labels(connected_components(best.select("src", "dst"), vertices=verts))
+    assert got == want
+    assert got == {0: 0, 1: 0, 2: 0, 5: 5, 6: 6}

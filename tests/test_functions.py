@@ -657,3 +657,80 @@ def test_decode_audio_error_channel(spark):
     feats = {r["media_id"]: r for r in audio_features(decoded).collect()}
     assert feats[0]["rms"] == 0.0 and feats[0]["duration_s"] == 100 / 8000
     assert feats[1]["rms"] is None
+
+
+def test_sample_frames_param_headers_and_partial_failure(spark):
+    """Spec-legal y4m with per-frame parameters (``FRAME Ip\\n``) must
+    sample correctly (variable-length headers), and a blob that fails
+    MID-stream must produce exactly ONE error row — no partial frame
+    rows alongside it."""
+    import numpy as np
+
+    from graph_mining_spark.functions.multimodal import encode_y4m, sample_frames
+
+    frames = np.stack(
+        [np.full((4, 6), i * 10, dtype=np.uint8) for i in range(5)]
+    )
+    plain = encode_y4m(frames, colorspace="Cmono")
+    # rewrite every frame header with an optional parameter token
+    withparams = plain.replace(b"FRAME\n", b"FRAME Ip\n")
+    # truncate mid-way through frame 3's pixels: frames 0-2 parse fine
+    hdr_end = plain.index(b"\n") + 1
+    cut = hdr_end + 3 * (6 + 4 * 6) + 6 + 5
+    truncated = plain[:cut]
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(withparams), "video/y4m", len(withparams)),
+            (1, bytearray(truncated), "video/y4m", len(truncated)),
+        ],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    out = sample_frames(media, every_n=2, on_error="null").collect()
+    good = sorted(r["frame_index"] for r in out if r["media_id"] == 0)
+    assert good == [0, 2, 4]
+    for r in out:
+        if r["media_id"] == 0 and r["frame_index"] == 4:
+            assert bytes(r["pixels"]) == frames[4].tobytes()
+    bad = [r for r in out if r["media_id"] == 1]
+    assert len(bad) == 1 and bad[0]["pixels"] is None
+    assert "truncated frame" in bad[0]["error"]
+
+
+def test_decode_image_null_media_id_error_channel(spark):
+    """A row with a NULL media_id must flow through on_error='null' as
+    an error row (null id), not kill the task inside the except
+    handler."""
+    import numpy as np
+
+    from graph_mining_spark.functions.multimodal import decode_image, encode_bmp
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = encode_bmp(img)
+    media = spark.createDataFrame(
+        [
+            (7, bytearray(good), "image/bmp", len(good)),
+            (None, bytearray(b"\x00bad"), "image/???", 4),
+        ],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    out = decode_image(media, on_error="null").collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[7]["error"] is None and by_id[7]["width"] == 2
+    assert by_id[None]["pixels"] is None and "unsupported image magic" in by_id[None]["error"]
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes; the parser must skip them instead of misreading segment
+    lengths."""
+    import numpy as np
+
+    from graph_mining_spark.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = ((np.arange(16 * 16) * 7) % 256).reshape(16, 16).astype(np.uint8)
+    blob = encode_jpeg(np.stack([img] * 3, axis=-1))
+    # inject fill bytes immediately after SOI (before the next marker's 0xFF)
+    padded = blob[:2] + b"\xff\xff\xff" + blob[2:]
+    base = decode_jpeg(blob)
+    got = decode_jpeg(padded)
+    np.testing.assert_array_equal(got, base)
