@@ -377,7 +377,11 @@ def affinity_cluster(
         # pointer-doubling connectivity replaces the general CC loop
         # (identical labels, ~5x fewer/cheaper jobs per round)
         cur_verts = cur_nw.select("vid")
-        round_labels = forest_components(best.select("src", "dst"), cur_verts)
+        # best targets are drawn from edges among cur_verts, so the
+        # dangling-pointer clamp join can be skipped
+        round_labels = forest_components(
+            best.select("src", "dst"), cur_verts, targets_in_vertices=True
+        )
         if cfg.size_constraint is not None:
             from graph_mining_spark.operators.size_constraint import enforce_max_cluster_size
 

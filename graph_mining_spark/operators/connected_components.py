@@ -153,6 +153,7 @@ def forest_components(
     best: DataFrame,
     vertices: DataFrame,
     max_doublings: int = 64,
+    targets_in_vertices: bool = False,
 ) -> DataFrame:
     """Components of a BEST-NEIGHBOR pointer forest — the affinity
     round's inner connectivity (parallel_affinity_internal.cc's forest
@@ -191,11 +192,15 @@ def forest_components(
     # connected_components(vertices=...) ignores edges through unknown
     # endpoints (they never enter the label table), and the doubling
     # self-join below is inner, so an unclamped dangling pointer would
-    # silently DROP its row instead
-    known = verts.select(F.col("vid").alias("p"), F.lit(True).alias("_k"))
-    p = p.join(known, "p", "left").select(
-        "vid", F.when(F.col("_k").isNotNull(), F.col("p")).otherwise(F.col("vid")).alias("p")
-    )
+    # silently DROP its row instead.  Callers that build ``best`` from
+    # edges among ``vertices`` (the affinity round does, by
+    # construction) pass targets_in_vertices=True to skip the extra
+    # vertex-sized join on the hot path.
+    if not targets_in_vertices:
+        known = verts.select(F.col("vid").alias("p"), F.lit(True).alias("_k"))
+        p = p.join(known, "p", "left").select(
+            "vid", F.when(F.col("_k").isNotNull(), F.col("p")).otherwise(F.col("vid")).alias("p")
+        )
     pp = p.select(F.col("vid").alias("p"), F.col("p").alias("_pp"))
     p = p.join(pp, "p", "left").select(
         "vid",
