@@ -165,29 +165,43 @@ def materialize_csr_shards(
                 [pa.array(s.astype(np.int32)), pa.array(d.astype(np.int32))], names=["s", "d"]
             )
 
-    e_idx = edges.select("src", "dst").mapInArrow(pack, schema="s int, d int")
+    # staged once: the reindex feeds both the degree probe and the
+    # shard write, and recomputing the mapInArrow pass costs more than
+    # caching the 8-byte int pairs
+    from pyspark.storagelevel import StorageLevel
 
-    # in-degree per dst index drives the salting decision
-    indeg = e_idx.groupBy("d").agg(F.count("*").alias("_deg"))
-    salted = (
-        e_idx.join(indeg, "d")
-        .withColumn(
-            "_salt",
-            F.when(
-                F.col("_deg") > salt_threshold,
-                F.pmod(F.hash("s"), F.ceil(F.col("_deg") / salt_threshold).cast("int")),
-            ).otherwise(F.lit(0)),
-        )
-        .select("s", "d", "_salt")
+    e_idx = (
+        edges.select("src", "dst")
+        .mapInArrow(pack, schema="s int, d int")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    # in-degree per dst index drives the salting decision; the groupBy
+    # is map-side combined (≤ n keys cross the wire).  When NO dst
+    # exceeds the threshold — the common case; hubs are the exception —
+    # the per-edge degree join is pure overhead, so it is skipped and
+    # the write partitions by d alone (bitwise-identical gathers: the
+    # driver-side combine never depended on shard placement)
+    indeg = e_idx.groupBy("d").agg(F.count("*").alias("_deg"))
+    max_deg = indeg.agg(F.max("_deg")).first()[0] or 0
+    if max_deg > salt_threshold:
+        to_write = (
+            e_idx.join(indeg, "d")
+            .withColumn(
+                "_salt",
+                F.when(
+                    F.col("_deg") > salt_threshold,
+                    F.pmod(F.hash("s"), F.ceil(F.col("_deg") / salt_threshold).cast("int")),
+                ).otherwise(F.lit(0)),
+            )
+            .repartition(partitions, "d", "_salt")
+            .select("s", "d")
+        )
+    else:
+        to_write = e_idx.repartition(partitions, "d")
     root = shard_root or os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/graph_mining_spark_ckpt")
     shard_dir = os.path.join(root, f"csr_{uuid.uuid4().hex[:12]}")
-    (
-        salted.repartition(partitions, "d", "_salt")
-        .drop("_salt")
-        .write.mode("overwrite")
-        .parquet(shard_dir)
-    )
+    to_write.write.mode("overwrite").parquet(shard_dir)
     files = _list_shard_uris(spark, shard_dir)
     shard_files = spark.createDataFrame([(p,) for p in files], "path string").repartition(
         max(len(files), 1)
@@ -201,6 +215,7 @@ def materialize_csr_shards(
         src_arr = out_pdf["src"].to_numpy(dtype=np.int64)
         cnt_arr = out_pdf["c"].to_numpy(dtype=np.int64)
         deg[np.searchsorted(vids, src_arr)] = cnt_arr
+    e_idx.unpersist()
     bvids.destroy()
 
     return CsrShards(shard_files=shard_files, shard_dir=shard_dir, vids=vids, out_deg=deg, n=n)
