@@ -5,8 +5,10 @@ through a :class:`SuperstepLedger`:
 
   - each superstep appends a JSON line
     ``{algo, superstep, metric, n_active, partitions, state_path, wall_s}``
-    to ``<dir>/ledger.jsonl`` — the per-partition lineage + convergence
-    record the north rule asks for;
+    to ``<dir>/ledger.jsonl``; checkpointed supersteps additionally
+    carry ``files`` — one ``{name, bytes, rows}`` entry per written
+    part file — so the record holds the per-partition lineage +
+    convergence metrics the north rule asks for;
   - every ``every`` supersteps the state DataFrame is written to
     Parquet under ``<dir>/state_<n>/`` (an atomic rename-free write —
     Spark writes a _SUCCESS marker we verify on resume);
@@ -93,10 +95,12 @@ class SuperstepLedger:
         wall = now - self._t0
         self._t0 = now
         checkpointed = self.directory and (force_checkpoint or superstep % self.every == 0)
+        files: list[dict] | None = None
         if checkpointed:
             path = self._state_path(superstep)
             state.write.mode("overwrite").parquet(path)
             out = state.sparkSession.read.parquet(path)
+            files = self._partition_manifest(state.sparkSession, path)
         else:
             out = cut_lineage(state)
         if observation is not None:
@@ -114,11 +118,48 @@ class SuperstepLedger:
             "state_path": self._state_path(superstep) if checkpointed else None,
             "wall_s": round(wall, 4),
         }
+        if files is not None:
+            # per-partition lineage: which concrete files constitute
+            # this superstep's durable state, and how large each is —
+            # read straight off the written directory (no extra Spark
+            # job), so a resumed driver can verify the state it loads
+            # file-by-file
+            rec["files"] = files
         self.records.append(rec)
         if self.ledger_path:
             with open(self.ledger_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
         return out
+
+    @staticmethod
+    def _partition_manifest(spark: SparkSession, state_path: str) -> list[dict]:
+        """Per-partition lineage of a durable state: one entry per
+        written part file (name, bytes, rows), listed through the
+        Hadoop FS abstraction so hdfs:/s3a: checkpoint roots work.
+        Row counts come from the parquet footer (metadata-only read)
+        and are best-effort on non-local stores."""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = []
+        for st in fs.listStatus(hpath):
+            name = st.getPath().getName()
+            if not name.startswith("part-") or name.endswith(".crc"):
+                continue
+            rows = None
+            uri = st.getPath().toString()
+            local = uri.split("file:", 1)[-1] if uri.startswith("file:") else None
+            if local is None and "://" not in uri:
+                local = uri
+            if local is not None:
+                try:
+                    import pyarrow.parquet as pq
+
+                    rows = pq.ParquetFile(local).metadata.num_rows
+                except Exception:
+                    rows = None
+            out.append({"name": name, "bytes": int(st.getLen()), "rows": rows})
+        return sorted(out, key=lambda r: r["name"])
 
     @classmethod
     def resume(cls, spark: SparkSession, algo: str, directory: str) -> tuple[int, DataFrame] | None:

@@ -59,3 +59,26 @@ def test_ledger_records_metrics(spark, tmp_path):
     lines = [json.loads(x) for x in open(os.path.join(led_dir, "ledger.jsonl"))]
     assert all({"algo", "superstep", "metric", "n_active", "partitions", "wall_s"} <= set(r) for r in lines)
     assert lines[-1]["metric"] == 0.0  # converged: zero changes
+
+
+def test_ledger_partition_lineage(spark, tmp_path):
+    """Checkpointed records carry the per-partition file manifest: the
+    named part files must be exactly the parquet files on disk, byte
+    sizes must match, and footer row counts must sum to the state's
+    row count."""
+    e = make_edges(spark, [(i, i + 1, 1.0) for i in range(30)])
+    led_dir = str(tmp_path / "lin")
+    led = SuperstepLedger("cc", directory=led_dir, every=1)
+    connected_components(e, ledger=led)
+    recs = [json.loads(x) for x in open(os.path.join(led_dir, "ledger.jsonl"))]
+    ck = [r for r in recs if r["state_path"]]
+    assert ck, "expected at least one checkpointed superstep"
+    for r in ck:
+        assert r["files"], r
+        on_disk = {
+            f: os.path.getsize(os.path.join(r["state_path"], f))
+            for f in os.listdir(r["state_path"])
+            if f.startswith("part-") and not f.endswith(".crc")
+        }
+        assert {f["name"]: f["bytes"] for f in r["files"]} == on_disk
+        assert sum(f["rows"] for f in r["files"]) == 31  # 31 vertices
