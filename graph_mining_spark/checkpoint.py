@@ -78,6 +78,7 @@ class SuperstepLedger:
         n_active: int | None = None,
         force_checkpoint: bool = False,
         observation=None,
+        metrics_only: bool = False,
     ) -> DataFrame:
         """Log one superstep; persist state every ``every`` steps.
 
@@ -90,6 +91,12 @@ class SuperstepLedger:
         the metrics action (one Spark job per superstep instead of two);
         missing ``metric`` / ``n_active`` are filled from the
         observation's ``metric`` / ``n_active`` keys after the run.
+
+        ``metrics_only``: skip the lineage cut on non-checkpointed
+        steps and return ``state`` unchanged — for callers whose state
+        is driver-resident (the CSR fast paths build their DataFrame
+        from a local vector, so there is no lineage to cut); durable
+        checkpoints still happen when a directory is set.
         """
         now = time.monotonic()
         wall = now - self._t0
@@ -101,6 +108,8 @@ class SuperstepLedger:
             state.write.mode("overwrite").parquet(path)
             out = state.sparkSession.read.parquet(path)
             files = self._partition_manifest(state.sparkSession, path)
+        elif metrics_only:
+            out = state
         else:
             out = cut_lineage(state)
         if observation is not None:
@@ -114,7 +123,9 @@ class SuperstepLedger:
             "superstep": superstep,
             "metric": float(metric if metric is not None else 0.0),
             "n_active": int(n_active if n_active is not None else 0),
-            "partitions": out.rdd.getNumPartitions(),
+            # rdd conversion is a JVM roundtrip — not worth it for a
+            # metrics-only record of a driver-resident vector
+            "partitions": None if (metrics_only and not checkpointed) else out.rdd.getNumPartitions(),
             "state_path": self._state_path(superstep) if checkpointed else None,
             "wall_s": round(wall, 4),
         }

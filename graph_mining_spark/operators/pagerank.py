@@ -262,7 +262,7 @@ def pagerank_csr(
         r = new
         if ledger is not None:
             state = _vec_df(spark, shards.vids, r)
-            ledger.record(it, state, metric=l1, n_active=n)
+            ledger.record(it, state, metric=l1, n_active=n, metrics_only=True)
         if l1 < eps:
             break
 
