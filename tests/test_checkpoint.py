@@ -61,6 +61,26 @@ def test_ledger_records_metrics(spark, tmp_path):
     assert lines[-1]["metric"] == 0.0  # converged: zero changes
 
 
+def test_metrics_only_still_checkpoints_durably(spark, tmp_path):
+    """metrics_only skips lineage cuts on non-checkpointed steps (the
+    CSR fast paths' driver-resident state) but durable checkpoints and
+    their manifests must still happen on schedule."""
+    led_dir = str(tmp_path / "mo")
+    led = SuperstepLedger("csr", directory=led_dir, every=2)
+    df = spark.range(5).selectExpr("id as vid", "cast(id as double) as rank")
+    for step in (1, 2, 3, 4):
+        out = led.record(step, df, metric=0.5, n_active=5, metrics_only=True)
+        assert out is not None
+    recs = [json.loads(x) for x in open(os.path.join(led_dir, "ledger.jsonl"))]
+    assert [bool(r["state_path"]) for r in recs] == [False, True, False, True]
+    ck = [r for r in recs if r["state_path"]]
+    assert all(r["files"] for r in ck)
+    assert all(r["partitions"] is None for r in recs if not r["state_path"])
+    resumed = SuperstepLedger.resume(spark, "csr", led_dir)
+    assert resumed is not None and resumed[0] == 4
+    assert resumed[1].count() == 5
+
+
 def test_ledger_partition_lineage(spark, tmp_path):
     """Checkpointed records carry the per-partition file manifest: the
     named part files must be exactly the parquet files on disk, byte
