@@ -70,10 +70,17 @@ class SuperstepLedger:
         assert self.directory
         return os.path.join(self.directory, f"state_{superstep:06d}")
 
+    def will_checkpoint(self, superstep: int, force: bool = False) -> bool:
+        """True when :meth:`record` would durably write this superstep —
+        lets callers whose state is driver-resident (the CSR fast
+        paths) skip building the state DataFrame entirely on the
+        metrics-only steps and pass ``state=None``."""
+        return bool(self.directory) and (force or superstep % self.every == 0)
+
     def record(
         self,
         superstep: int,
-        state: DataFrame,
+        state: DataFrame | None,
         metric: float | None = None,
         n_active: int | None = None,
         force_checkpoint: bool = False,
@@ -103,6 +110,11 @@ class SuperstepLedger:
         self._t0 = now
         checkpointed = self.directory and (force_checkpoint or superstep % self.every == 0)
         files: list[dict] | None = None
+        if state is None and (checkpointed or not metrics_only):
+            raise ValueError(
+                "state=None is only valid on metrics-only, non-checkpointed "
+                "supersteps (gate with will_checkpoint())"
+            )
         if checkpointed:
             path = self._state_path(superstep)
             state.write.mode("overwrite").parquet(path)

@@ -43,13 +43,22 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from graph_mining_spark.graph import vertex_ids
-
 # Worker-process-local shard cache (Python workers are reused across
-# jobs).  Bounded LRU so a worker that sees many shards doesn't hold
-# the whole graph.
+# jobs).  BYTE-bounded LRU so a worker that sees many shards doesn't
+# hold the whole graph, while a gather task that owns many SMALL
+# shards (see _gather_partitions) keeps them all hot.
 _SHARD_CACHE: OrderedDict = OrderedDict()
-_SHARD_CACHE_MAX = int(os.environ.get("SPARK_GRAFT_SHARD_CACHE", "8"))
+_SHARD_CACHE_MAX_BYTES = int(
+    float(os.environ.get("SPARK_GRAFT_SHARD_CACHE_MB", "512")) * 1024 * 1024
+)
+_SHARD_CACHE_BYTES = 0
+
+# Minimum edges a single gather task should own: per-task Python/Arrow
+# launch overhead measured ~10 ms wall on top of a ~0.25 s fixed job
+# cost, while bincount over 1M cached edges is ~10 ms — below this,
+# more tasks only add latency.  A 100 TB edge set still fans out to
+# edges/1M tasks; env-overridable for tuning.
+_EDGES_PER_GATHER_TASK = int(os.environ.get("SPARK_GRAFT_GATHER_EDGES_PER_TASK", "1000000"))
 
 
 def _load_shard(path: str):
@@ -82,9 +91,12 @@ def _load_shard(path: str):
         t = pq.read_table(path, columns=["s", "d"], memory_map=True)
     s = t.column("s").to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
     d = t.column("d").to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+    global _SHARD_CACHE_BYTES
     _SHARD_CACHE[path] = (s, d)
-    while len(_SHARD_CACHE) > _SHARD_CACHE_MAX:
-        _SHARD_CACHE.popitem(last=False)
+    _SHARD_CACHE_BYTES += s.nbytes + d.nbytes
+    while _SHARD_CACHE_BYTES > _SHARD_CACHE_MAX_BYTES and len(_SHARD_CACHE) > 1:
+        _, (es, ed) = _SHARD_CACHE.popitem(last=False)
+        _SHARD_CACHE_BYTES -= es.nbytes + ed.nbytes
     return s, d
 
 
@@ -148,75 +160,111 @@ def materialize_csr_shards(
     ``edges`` is directed (src → dst); gathers aggregate by dst.
     """
     spark = edges.sparkSession
-    verts = vertex_ids(edges) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
-    vids = np.sort(verts.toPandas()["vid"].to_numpy(dtype=np.int64))  # arrow collect
+    # ONE map-side-combined aggregation yields the vertex dictionary,
+    # the out-degree vector (scatter normalization) AND the in-degree
+    # vector (salting decision) in a single n-row Arrow collect —
+    # previously three separate jobs plus a persisted reindex pass
+    stats_pdf = (
+        edges.select(
+            F.col("src").cast("long").alias("vid"),
+            F.lit(1).alias("_o"),
+            F.lit(0).alias("_i"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("vid"),
+                F.lit(0).alias("_o"),
+                F.lit(1).alias("_i"),
+            )
+        )
+        .groupBy("vid")
+        .agg(F.sum("_o").alias("_o"), F.sum("_i").alias("_i"))
+        .toPandas()
+    )
+    evids = stats_pdf["vid"].to_numpy(dtype=np.int64)
+    order = np.argsort(evids)
+    evids = evids[order]
+    e_out = stats_pdf["_o"].to_numpy(dtype=np.int64)[order]
+    e_in = stats_pdf["_i"].to_numpy(dtype=np.int64)[order]
+
+    if vertices is None:
+        vids, deg, indeg = evids, e_out, e_in
+    else:
+        verts = vertices.select(F.col("vid").cast("long")).distinct()
+        vids = np.sort(verts.toPandas()["vid"].to_numpy(dtype=np.int64))
+        deg = np.zeros(len(vids), dtype=np.int64)
+        indeg = np.zeros(len(vids), dtype=np.int64)
+        pos = np.searchsorted(vids, evids)
+        deg[pos] = e_out
+        indeg[pos] = e_in
     n = len(vids)
 
     bvids = spark.sparkContext.broadcast(vids)
+    # Skew: a dst over the threshold has its in-edges spread over
+    # ceil(deg/threshold) salt buckets.  The salt is computed IN the
+    # reindex kernel from a broadcast per-vertex bucket-count vector
+    # (multiply-shift hash of the src index) — no per-edge degree join.
+    # Gathers are bitwise-identical either way: the driver-side combine
+    # never depended on shard placement.
+    max_deg = int(indeg.max()) if n else 0
+    salted = max_deg > salt_threshold
+    bnsalt = (
+        spark.sparkContext.broadcast(
+            np.maximum(1, -(-indeg // salt_threshold)).astype(np.int64)
+        )
+        if salted
+        else None
+    )
 
     def pack(batches):
         # dense index via broadcast binary search, vectorized per batch
         import pyarrow as pa
 
         for b in batches:
-            s = np.searchsorted(bvids.value, b.column("src").to_numpy(zero_copy_only=False))
-            d = np.searchsorted(bvids.value, b.column("dst").to_numpy(zero_copy_only=False))
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(s.astype(np.int32)), pa.array(d.astype(np.int32))], names=["s", "d"]
-            )
+            s = np.searchsorted(
+                bvids.value, b.column("src").to_numpy(zero_copy_only=False)
+            ).astype(np.int32)
+            d = np.searchsorted(
+                bvids.value, b.column("dst").to_numpy(zero_copy_only=False)
+            ).astype(np.int32)
+            if salted:
+                h = (s.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+                t = (h % bnsalt.value[d].astype(np.uint64)).astype(np.int32)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(s), pa.array(d), pa.array(t)], names=["s", "d", "t"]
+                )
+            else:
+                yield pa.RecordBatch.from_arrays([pa.array(s), pa.array(d)], names=["s", "d"])
 
-    # staged once: the reindex feeds both the degree probe and the
-    # shard write, and recomputing the mapInArrow pass costs more than
-    # caching the 8-byte int pairs
-    from pyspark.storagelevel import StorageLevel
-
-    e_idx = (
-        edges.select("src", "dst")
-        .mapInArrow(pack, schema="s int, d int")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    # in-degree per dst index drives the salting decision; the groupBy
-    # is map-side combined (≤ n keys cross the wire).  When NO dst
-    # exceeds the threshold — the common case; hubs are the exception —
-    # the per-edge degree join is pure overhead, so it is skipped and
-    # the write partitions by d alone (bitwise-identical gathers: the
-    # driver-side combine never depended on shard placement)
-    indeg = e_idx.groupBy("d").agg(F.count("*").alias("_deg"))
-    max_deg = indeg.agg(F.max("_deg")).first()[0] or 0
-    if max_deg > salt_threshold:
+    base = edges.select("src", "dst")
+    if salted:
         to_write = (
-            e_idx.join(indeg, "d")
-            .withColumn(
-                "_salt",
-                F.when(
-                    F.col("_deg") > salt_threshold,
-                    F.pmod(F.hash("s"), F.ceil(F.col("_deg") / salt_threshold).cast("int")),
-                ).otherwise(F.lit(0)),
-            )
-            .repartition(partitions, "d", "_salt")
+            base.mapInArrow(pack, schema="s int, d int, t int")
+            .repartition(partitions, "d", "t")
             .select("s", "d")
         )
     else:
-        to_write = e_idx.repartition(partitions, "d")
+        to_write = base.mapInArrow(pack, schema="s int, d int").repartition(partitions, "d")
     root = shard_root or os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/graph_mining_spark_ckpt")
     shard_dir = os.path.join(root, f"csr_{uuid.uuid4().hex[:12]}")
     to_write.write.mode("overwrite").parquet(shard_dir)
     files = _list_shard_uris(spark, shard_dir)
+    # Group shard descriptors into WORK-SIZED gather tasks: one task
+    # per ~_EDGES_PER_GATHER_TASK edges (never more tasks than files).
+    # Each gather superstep maps over these partitions, so a small
+    # graph pays a handful of Python-task launches per superstep
+    # instead of one per file, while a 100 TB edge set still fans out
+    # to edges/1M tasks.
+    total_edges = int(deg.sum())
+    gather_parts = max(1, min(len(files), -(-total_edges // _EDGES_PER_GATHER_TASK)))
     shard_files = spark.createDataFrame([(p,) for p in files], "path string").repartition(
-        max(len(files), 1)
+        gather_parts
     )
     shard_files = shard_files.persist()
     shard_files.count()
-
-    deg = np.zeros(n, dtype=np.int64)
-    out_pdf = edges.groupBy("src").agg(F.count("*").alias("c")).toPandas()
-    if len(out_pdf):
-        src_arr = out_pdf["src"].to_numpy(dtype=np.int64)
-        cnt_arr = out_pdf["c"].to_numpy(dtype=np.int64)
-        deg[np.searchsorted(vids, src_arr)] = cnt_arr
-    e_idx.unpersist()
     bvids.destroy()
+    if bnsalt is not None:
+        bnsalt.destroy()
 
     return CsrShards(shard_files=shard_files, shard_dir=shard_dir, vids=vids, out_deg=deg, n=n)
 

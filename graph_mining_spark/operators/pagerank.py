@@ -261,7 +261,11 @@ def pagerank_csr(
         l1 = float(np.abs(new - r).sum())
         r = new
         if ledger is not None:
-            state = _vec_df(spark, shards.vids, r)
+            # build the vertex-sized state DataFrame ONLY when this
+            # superstep durably checkpoints — a metrics-only record
+            # never touches it, and converting a multi-million-row
+            # vector to Arrow every iteration is measurable waste
+            state = _vec_df(spark, shards.vids, r) if ledger.will_checkpoint(it) else None
             ledger.record(it, state, metric=l1, n_active=n, metrics_only=True)
         if l1 < eps:
             break
