@@ -102,3 +102,34 @@ def test_ledger_partition_lineage(spark, tmp_path):
         }
         assert {f["name"]: f["bytes"] for f in r["files"]} == on_disk
         assert sum(f["rows"] for f in r["files"]) == 31  # 31 vertices
+
+
+def test_will_checkpoint_gates_lazy_state(spark, tmp_path):
+    """Callers with driver-resident state (CSR fast paths) skip
+    building the state DataFrame on metrics-only steps: state=None is
+    accepted exactly when will_checkpoint() is False, and rejected
+    when the ledger would durably write (or would need a lineage
+    cut)."""
+    import pytest
+
+    led_dir = str(tmp_path / "lazy")
+    led = SuperstepLedger("csr", directory=led_dir, every=2)
+    df = spark.range(3).selectExpr("id as vid", "cast(id as double) as rank")
+    assert [led.will_checkpoint(s) for s in (1, 2, 3, 4)] == [False, True, False, True]
+    for step in (1, 2, 3, 4):
+        state = df if led.will_checkpoint(step) else None
+        led.record(step, state, metric=0.1, n_active=3, metrics_only=True)
+    recs = [json.loads(x) for x in open(os.path.join(led_dir, "ledger.jsonl"))]
+    assert [bool(r["state_path"]) for r in recs] == [False, True, False, True]
+    # state=None on a step that WOULD checkpoint must raise, not
+    # silently skip the durable write
+    with pytest.raises(ValueError):
+        led.record(6, None, metric=0.1, n_active=3, metrics_only=True)
+    # a memory-only ledger (directory=None) never checkpoints
+    mem = SuperstepLedger("csr")
+    assert not mem.will_checkpoint(5)
+    mem.record(5, None, metric=0.2, n_active=3, metrics_only=True)
+    assert mem.records[-1]["metric"] == 0.2
+    # non-metrics-only callers still need a real DataFrame
+    with pytest.raises(ValueError):
+        mem.record(6, None)
