@@ -86,12 +86,14 @@ class SuperstepLedger:
         force_checkpoint: bool = False,
         observation=None,
         metrics_only: bool = False,
-    ) -> DataFrame:
+    ) -> DataFrame | None:
         """Log one superstep; persist state every ``every`` steps.
 
         Returns the state DataFrame to keep using — re-read from Parquet
         when checkpointed (cuts lineage AND survives driver restart),
-        else localCheckpoint'ed (cuts lineage only).
+        else localCheckpoint'ed (cuts lineage only).  On a metrics-only,
+        non-checkpointed step the caller may pass ``state=None`` (gate
+        with :meth:`will_checkpoint`); ``None`` is returned unchanged.
 
         ``observation``: a ``pyspark.sql.Observation`` attached to the
         ``state`` plan.  The materialization performed here doubles as
@@ -108,7 +110,7 @@ class SuperstepLedger:
         now = time.monotonic()
         wall = now - self._t0
         self._t0 = now
-        checkpointed = self.directory and (force_checkpoint or superstep % self.every == 0)
+        checkpointed = self.will_checkpoint(superstep, force_checkpoint)
         files: list[dict] | None = None
         if state is None and (checkpointed or not metrics_only):
             raise ValueError(

@@ -125,7 +125,9 @@ def _list_shard_uris(spark, shard_dir: str) -> list[str]:
 class CsrShards:
     """Disk-backed CSR shards + driver-side vertex dictionary."""
 
-    shard_files: DataFrame  # one row per shard parquet file, 1 file/partition
+    shard_files: DataFrame  # one row per shard parquet file, grouped into
+    # work-sized gather partitions (~_EDGES_PER_GATHER_TASK edges/task;
+    # a small graph's files may all share one partition)
     shard_dir: str
     vids: np.ndarray  # dense index -> external vid (sorted ascending)
     out_deg: np.ndarray  # dense index -> out-degree
@@ -163,19 +165,15 @@ def materialize_csr_shards(
     # ONE map-side-combined aggregation yields the vertex dictionary,
     # the out-degree vector (scatter normalization) AND the in-degree
     # vector (salting decision) in a single n-row Arrow collect —
-    # previously three separate jobs plus a persisted reindex pass
+    # previously three separate jobs plus a persisted reindex pass.
+    # inline(array(...)) emits both endpoint rows from ONE scan of the
+    # upstream plan (a union of two selects would execute it twice —
+    # costly when the caller passes an uncached symmetrize/ingest plan)
     stats_pdf = (
-        edges.select(
-            F.col("src").cast("long").alias("vid"),
-            F.lit(1).alias("_o"),
-            F.lit(0).alias("_i"),
-        )
-        .unionByName(
-            edges.select(
-                F.col("dst").cast("long").alias("vid"),
-                F.lit(0).alias("_o"),
-                F.lit(1).alias("_i"),
-            )
+        edges.selectExpr(
+            "inline(array("
+            "  struct(cast(src as long) as vid, 1 as _o, 0 as _i),"
+            "  struct(cast(dst as long) as vid, 0 as _o, 1 as _i)))"
         )
         .groupBy("vid")
         .agg(F.sum("_o").alias("_o"), F.sum("_i").alias("_i"))
@@ -195,6 +193,17 @@ def materialize_csr_shards(
         deg = np.zeros(len(vids), dtype=np.int64)
         indeg = np.zeros(len(vids), dtype=np.int64)
         pos = np.searchsorted(vids, evids)
+        # every edge endpoint must be in the provided vertex set — a
+        # silent mismatch would scatter degrees (and salt counts) onto
+        # the wrong vertex
+        if len(evids) and (
+            pos.max(initial=-1) >= len(vids) or not np.array_equal(vids[pos], evids)
+        ):
+            missing = evids[(pos >= len(vids)) | (vids[np.minimum(pos, len(vids) - 1)] != evids)]
+            raise ValueError(
+                f"edges reference {len(missing)} vertex id(s) not in `vertices` "
+                f"(e.g. {missing[:5].tolist()})"
+            )
         deg[pos] = e_out
         indeg[pos] = e_in
     n = len(vids)

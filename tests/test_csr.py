@@ -84,3 +84,15 @@ def test_cc_csr_long_path(spark):
     e = make_edges(spark, [(i, i + 1, 1.0) for i in range(99)])
     labs = {r["vid"]: r["label"] for r in connected_components_csr(e, partitions=4, max_supersteps=12).collect()}
     assert set(labs.values()) == {0} and len(labs) == 100
+
+
+def test_csr_build_rejects_unknown_endpoints(spark):
+    """Edges referencing vids outside a provided vertex set must raise
+    (a silent searchsorted mismatch would scatter degrees and salt
+    counts onto the wrong vertex)."""
+    import pytest
+
+    e = make_edges(spark, [(0, 5, 1.0)])
+    verts = spark.createDataFrame([(0,), (1,)], "vid long")
+    with pytest.raises(ValueError, match="not in `vertices`"):
+        materialize_csr_shards(e, vertices=verts, partitions=2)
