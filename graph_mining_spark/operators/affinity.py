@@ -149,11 +149,14 @@ def best_neighbor(
         if sc.max_cluster_size is not None:
             e = e.filter(F.col("_ns") + F.col("_nd") <= sc.max_cluster_size)
         e = e.select("src", "dst", "weight")
-    w = Window.partitionBy("src").orderBy(F.col("weight").desc(), F.col("dst").desc())
+    # top-1 by (weight desc, dst desc) == max over the (weight, dst)
+    # struct: a map-side-combined aggregation, so only vertex-sized
+    # partials cross the shuffle (a row_number window would shuffle
+    # EVERY edge and funnel a hub's whole edge list through one task)
     return (
-        e.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .drop("_r")
+        e.groupBy("src")
+        .agg(F.max(F.struct(F.col("weight"), F.col("dst"))).alias("_best"))
+        .select("src", F.col("_best.dst").alias("dst"), F.col("_best.weight").alias("weight"))
     )
 
 
