@@ -112,12 +112,13 @@ def parhac(
         lo = max(wmax / (1.0 + cfg.epsilon), cfg.linkage_threshold)
         bucket = scored.filter(F.col("sim") >= lo).select("src", "dst", "sim")
 
-        # deterministic mutual-best matching
-        w_best = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst").asc())
+        # deterministic mutual-best matching: top-1 by (sim desc, dst
+        # asc) == max over (sim, -dst) — map-side-combined aggregation
+        # instead of a per-src sort window
         best = (
-            bucket.withColumn("_r", F.row_number().over(w_best))
-            .filter(F.col("_r") == 1)
-            .select("src", "dst", "sim")
+            bucket.groupBy("src")
+            .agg(F.max(F.struct(F.col("sim"), (-F.col("dst")).alias("_nd"))).alias("_b"))
+            .select("src", (-F.col("_b._nd")).alias("dst"), F.col("_b.sim").alias("sim"))
         )
         rev = best.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         matched = (

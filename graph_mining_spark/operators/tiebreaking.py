@@ -83,11 +83,12 @@ def best_neighbor_string_tiebreak(
             fp = _pair_fingerprint(F.xxhash64(F.col("_ks")), fp_key)
         else:
             fp = fp_key
-    w = Window.partitionBy("src").orderBy(
-        F.col("weight").desc(), fp.desc(), F.col("dst").desc()
-    )
+    # top-1 by (weight desc, fp desc, dst desc) == max over the
+    # (weight, fp, dst) struct (field-wise comparison; md5 hex strings
+    # compare lexicographically, matching the reference's max-pair
+    # rule) — map-side-combined, so only vertex-sized partials shuffle
     return (
-        e.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("src", "dst", "weight")
+        e.groupBy("src")
+        .agg(F.max(F.struct(F.col("weight"), fp.alias("_fp"), F.col("dst"))).alias("_b"))
+        .select("src", F.col("_b.dst").alias("dst"), F.col("_b.weight").alias("weight"))
     )
