@@ -408,13 +408,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # size-constrained affinity (EnforceMaxClusterSize), oracle-gated
     # via two provable regimes in one tagged slot: (a) max_cluster_size
-    # = 1 forces the min-weighted-size tree partitioner to split every
-    # proposed affinity cluster down to singletons (the full recursion
-    # runs — any defect in splitting or label reassembly breaks the
-    # hash), and (b) the real max=8 run reports coverage (every vertex
-    # labeled exactly once) and the operator's hard cap contract (zero
-    # oversize clusters).  The order-dependent WHICH-split surface
-    # stays gated by reference-fixture parity in
+    # = 1 with unit node weights gates the size-constrained
+    # BEST-NEIGHBOR pre-filter — every proposed merge would weigh
+    # 1+1 > 1, so all edges are filtered, best_neighbor is empty, and
+    # the provable output is all-singletons (NOTE: the tree-partitioner
+    # recursion never runs in this regime; affinity breaks at the
+    # empty-forest check first), and (b) the real max=8 run reports
+    # coverage (every vertex labeled exactly once) and the operator's
+    # hard cap contract (zero oversize clusters) — that run DOES
+    # exercise the split recursion, contract-checked rather than
+    # split-for-split.  The order-dependent WHICH-split surface stays
+    # gated by reference-fixture parity in
     # tests/test_size_constraint.py.
     def _affinity_sized(s, d):
         from graph_mining_spark.operators.size_constraint import SizeConstraint

@@ -199,7 +199,10 @@ def materialize_csr_shards(
         if len(evids) and (
             pos.max(initial=-1) >= len(vids) or not np.array_equal(vids[pos], evids)
         ):
-            missing = evids[(pos >= len(vids)) | (vids[np.minimum(pos, len(vids) - 1)] != evids)]
+            bad = pos >= len(vids)
+            if len(vids):  # an empty vertex table makes EVERY endpoint missing
+                bad |= vids[np.minimum(pos, len(vids) - 1)] != evids
+            missing = evids[bad]
             raise ValueError(
                 f"edges reference {len(missing)} vertex id(s) not in `vertices` "
                 f"(e.g. {missing[:5].tolist()})"

@@ -34,7 +34,9 @@ def _safe_media_id(v):
     """Coerce a media_id cell to int or None: Arrow hands a nullable
     long column to pandas as floats-with-NaN (or objects with None),
     and the error-channel except handlers must not themselves raise on
-    the id while reporting a bad row."""
+    the id while reporting a bad row.  Only ``on_error="null"`` paths
+    use this — raise mode converts strictly so a null/garbage id fails
+    the job like any other invalid cell."""
     try:
         return int(v)
     except (TypeError, ValueError):
@@ -341,7 +343,7 @@ def decode_image(media: DataFrame, on_error: str = "raise") -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                mid = _safe_media_id(mid)
+                mid = _safe_media_id(mid) if null_mode else int(mid)
                 try:
                     b = bytes(blob)
                     if b[:2] == b"BM":
@@ -482,7 +484,7 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                mid = _safe_media_id(mid)
+                mid = _safe_media_id(mid) if null_mode else int(mid)
                 # buffer per blob: a blob that fails mid-stream must
                 # contribute ONE error row, not partial frames + error
                 blob_rows = []
@@ -663,7 +665,7 @@ def decode_audio(media: DataFrame, on_error: str = "raise") -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
-                mid = _safe_media_id(mid)
+                mid = _safe_media_id(mid) if null_mode else int(mid)
                 try:
                     b = bytes(blob)
                     if b[:4] != b"RIFF":
@@ -702,7 +704,7 @@ def audio_features(decoded: DataFrame) -> DataFrame:
             rows = []
             for _, r in pdf.iterrows():
                 if r["samples"] is None or r["n_samples"] == 0:
-                    rows.append((int(r["media_id"]), None, None, None, None))
+                    rows.append((_safe_media_id(r["media_id"]), None, None, None, None))
                     continue
                 x = np.frombuffer(r["samples"], "<f4").reshape(-1, int(r["channels"]))
                 mono = x.mean(axis=1, dtype=np.float64)
@@ -714,7 +716,7 @@ def audio_features(decoded: DataFrame) -> DataFrame:
                     if len(mono) > 1
                     else 0.0
                 )
-                rows.append((int(r["media_id"]), dur, rms, peak, zcr))
+                rows.append((_safe_media_id(r["media_id"]), dur, rms, peak, zcr))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "duration_s", "rms", "peak", "zero_crossing_rate"],

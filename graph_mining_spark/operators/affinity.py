@@ -348,6 +348,7 @@ def affinity_cluster(
     parline, terahac — feed symmetric contractions).
     """
     cfg = config or AffinityConfig()
+    user_scoped = vertices is not None or node_weights is not None
     sym = edges if already_symmetric else symmetrize(edges)
     verts = vertex_ids(sym) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
     labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
@@ -380,10 +381,17 @@ def affinity_cluster(
         # pointer-doubling connectivity replaces the general CC loop
         # (identical labels, ~5x fewer/cheaper jobs per round)
         cur_verts = cur_nw.select("vid")
-        # best targets are drawn from edges among cur_verts, so the
-        # dangling-pointer clamp join can be skipped
+        # best targets are drawn from cur_edges; from round 1 on those
+        # are compress_graph outputs whose endpoints are round_labels
+        # labels — exactly cur_verts — so the dangling-pointer clamp
+        # join can be skipped.  On round 0 that only holds when the
+        # vertex set was derived from the edges themselves: a CALLER
+        # vertex/node-weight table may omit an edge endpoint, and an
+        # unclamped pointer to it would silently drop its source row.
         round_labels = forest_components(
-            best.select("src", "dst"), cur_verts, targets_in_vertices=True
+            best.select("src", "dst"),
+            cur_verts,
+            targets_in_vertices=(i > 0 or not user_scoped),
         )
         if cfg.size_constraint is not None:
             from graph_mining_spark.operators.size_constraint import enforce_max_cluster_size

@@ -110,6 +110,14 @@ def sessionize_events_stream(
     as Spark's built-in ``session_window`` append mode, and it holds
     for ANY watermark delay vs gap combination (the old early emission
     was only safe when the delay was ≤ the gap).
+
+    MIGRATION: this rewrite changed the operator's state schema from
+    one scalar open-session row to array-typed interval buffers, and
+    ``applyInPandasWithState`` does not evolve state schemas — a query
+    checkpointed on the old build cannot resume on this one.  Restart
+    such queries with a FRESH checkpoint directory (replaying the
+    source from an offset at least ``watermark + gap`` before the
+    stop point reproduces every not-yet-final session).
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

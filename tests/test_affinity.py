@@ -113,3 +113,23 @@ def test_hierarchy_levels(spark):
     levels = affinity_cluster(e, AffinityConfig(num_iterations=2), return_levels=True)
     assert _clusters(levels[0]) == [(0, 1), (2, 3)]
     assert _clusters(levels[1]) == [(0, 1, 2, 3)]
+
+
+def test_caller_vertices_missing_best_target_stays_connected(spark):
+    """A caller-supplied vertex table may omit an edge endpoint; a
+    vertex whose BEST neighbor is out-of-set must stay a labeled
+    singleton that round (dangling-pointer clamp) and keep its other
+    edges into later rounds — not silently vanish from round_labels so
+    compress_graph drops its edges.
+
+    Vertex 1's best is out-of-set 4 (weight 10); its in-set edge to 2
+    (weight 1) must still merge it with {2,3} on round 1."""
+    e = make_edges(spark, [(1, 4, 10.0), (1, 2, 1.0), (2, 3, 5.0)])
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "vid long")
+    out = {
+        r["vid"]: r["label"]
+        for r in affinity_cluster(
+            e, AffinityConfig(num_iterations=2), vertices=verts
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}

@@ -96,3 +96,15 @@ def test_csr_build_rejects_unknown_endpoints(spark):
     verts = spark.createDataFrame([(0,), (1,)], "vid long")
     with pytest.raises(ValueError, match="not in `vertices`"):
         materialize_csr_shards(e, vertices=verts, partitions=2)
+
+
+def test_csr_build_rejects_empty_vertex_table(spark):
+    """An EMPTY vertex table with non-empty edges must raise the same
+    informative ValueError — not an IndexError from indexing vids[-1]
+    on an empty array inside the mismatch report."""
+    import pytest
+
+    e = make_edges(spark, [(0, 5, 1.0)])
+    verts = spark.createDataFrame([], "vid long")
+    with pytest.raises(ValueError, match="not in `vertices`"):
+        materialize_csr_shards(e, vertices=verts, partitions=2)

@@ -734,3 +734,25 @@ def test_jpeg_fill_bytes_before_markers():
     base = decode_jpeg(blob)
     got = decode_jpeg(padded)
     np.testing.assert_array_equal(got, base)
+
+
+def test_audio_features_null_media_id_error_row(spark):
+    """on_error='null' must survive a NULL media_id end-to-end: the
+    decode emits the error row with a null id and audio_features passes
+    it through with null features instead of crashing on int(NaN).
+    Raise mode stays strict — a null id fails the job."""
+    import pytest as _pytest
+
+    from graph_mining_spark.functions.multimodal import audio_features, decode_audio
+
+    media = spark.createDataFrame(
+        [(None, bytearray(b"nope"), "audio/?", 4)],
+        "media_id long, media binary, format string, n_bytes long",
+    )
+    decoded = decode_audio(media, on_error="null")
+    rows = decoded.collect()
+    assert rows[0]["media_id"] is None and rows[0]["samples"] is None
+    feats = audio_features(decoded).collect()
+    assert feats[0]["media_id"] is None and feats[0]["rms"] is None
+    with _pytest.raises(Exception):
+        decode_audio(media).collect()
