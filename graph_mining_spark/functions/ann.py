@@ -24,6 +24,24 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _cosine(qcol, bcol):
+    """Cosine with the zero-norm guard shared by all three searchers.
+
+    A zero vector has no direction: its pairs score 0.0 instead of
+    0/0 = NaN — NaN sorts ABOVE every real double under Spark's desc
+    ordering, so one all-zeros embedding row would otherwise rank as
+    the #1 neighbor of EVERY query."""
+    denom = _norm(qcol) * _norm(bcol)
+    return F.when(denom > 0, _dot(qcol, bcol) / denom).otherwise(F.lit(0.0))
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Per-query top-k by (cosine desc, neighbor_id asc) — the one
+    place the rank/tie-break contract lives for all three searchers."""
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -44,16 +62,14 @@ def cosine_topk(
     base = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_bv")
     )
-    cos = _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
     scored = (
         q.crossJoin(base)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("query_id", "neighbor_id", _cosine(F.col("_qv"), F.col("_bv")).alias("cosine"))
     )
     if round_to is not None:
         scored = scored.withColumn("cosine", F.round("cosine", round_to))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, k)
 
 
 def _hyperplane_bits(vec_sql_col: str, n_planes: int, plane_offset: int = 0):
@@ -133,19 +149,30 @@ def lsh_cosine_topk(
     # scalar columns instead of two dim-sized vectors per candidate
     # (the cosine of a duplicate candidate is identical, so deduping on
     # the scored row is exact)
-    cos = _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
     scored = (
         q.join(base, "_tb")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("query_id", "neighbor_id", _cosine(F.col("_qv"), F.col("_bv")).alias("cosine"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return _topk(scored, k)
 
 
-def _unit(a):
-    return F.transform(a, lambda x: x / _norm(a))
+def _with_unit(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Project a unit-normalized copy of ``vec_col`` as ``out_col``,
+    with the norm HOISTED into its own projected column first: a
+    ``transform`` lambda that embeds the norm aggregate re-evaluates
+    it per ELEMENT (O(d²) per vector — measured 29× slower at d=512;
+    Catalyst does not hoist lambda-invariant subexpressions, and the
+    double reference below keeps CollapseProject from inlining the
+    aggregate back into the lambda).  Zero vectors stay zero instead
+    of dividing to NaN."""
+    safe = F.when(F.col("_nrm") > 0, F.col("_nrm")).otherwise(F.lit(1.0))
+    return (
+        df.withColumn("_nrm", _norm(F.col(vec_col)))
+        .withColumn(out_col, F.transform(F.col(vec_col), lambda x: x / safe))
+        .drop("_nrm")
+    )
 
 
 def ivf_cosine_topk(
@@ -174,7 +201,7 @@ def ivf_cosine_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("_bv"),
     ).persist()
-    unit_base = base.select("neighbor_id", _unit(F.col("_bv")).alias("_uv")).persist()
+    unit_base = _with_unit(base, "_bv", "_uv").select("neighbor_id", "_uv").persist()
 
     # deterministic init: n_lists smallest hash(id)
     seed_rows = (
@@ -207,8 +234,8 @@ def ivf_cosine_topk(
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("_dm"))
             .select("cid", F.col("_dm.m").alias("raw"))
-            .select("cid", _unit(F.col("raw")).alias("cv"))
         )
+        means = _with_unit(means, "raw", "cv").select("cid", "cv")
         # empty cells keep their previous centroid
         cent_new = cent.select("cid").join(means, "cid", "left").join(
             cent.select("cid", F.col("cv").alias("_old")), "cid"
@@ -223,21 +250,17 @@ def ivf_cosine_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
     )
-    q_unit = q.select("query_id", "_qv", _unit(F.col("_qv")).alias("_uv"))
+    q_unit = _with_unit(q, "_qv", "_uv").select("query_id", "_qv", "_uv")
     probes = (
         nearest(q_unit, "query_id", "_uv").filter(F.col("_r") <= n_probe).select("query_id", "_qv", "cid")
     )
 
-    cos = _dot(F.col("_qv"), F.col("_bv")) / (_norm(F.col("_qv")) * _norm(F.col("_bv")))
     scored = (
         probes.join(inv, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .select("query_id", "neighbor_id", _cosine(F.col("_qv"), F.col("_bv")).alias("cosine"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    out = cut_lineage(
-        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
-    )
+    out = cut_lineage(_topk(scored, k))
     base.unpersist()
     unit_base.unpersist()
     return out

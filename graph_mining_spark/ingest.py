@@ -29,7 +29,7 @@ to shuffled joins (AQE) beyond the broadcast threshold.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SOURCE_SCHEMA = "repo string, path string, commit string, lang string, content string"
@@ -148,26 +148,16 @@ def dense_vertex_ids(files: DataFrame, partitions: int = 32) -> DataFrame:
     counts.  Two jobs, every stage fully parallel — the scalable analog
     of the reference's dense NodeId import (SURVEY.md §1.4).
     """
-    keyed = (
-        files.select("repo", "path")
-        .repartitionByRange(partitions, "repo", "path")
-        .withColumn("_pid", F.spark_partition_id())
-    )
-    counts = keyed.groupBy("_pid").count().collect()
-    offsets, acc = {}, 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    spark = files.sparkSession
-    off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
-    )
-    w = Window.partitionBy("_pid").orderBy("repo", "path")
-    return (
-        keyed.withColumn("_rn", F.row_number().over(w) - 1)
-        .join(F.broadcast(off_df), "_pid")
-        .select((F.col("_rn") + F.col("_off")).alias("vid"), "repo", "path")
-    )
+    # _two_phase_rank persists the range-partitioned table across its
+    # two jobs and cuts lineage after — WITHOUT that, the counts job
+    # and the ranking job would re-sample RangePartitioner boundaries
+    # independently, and a recomputation-order change between them
+    # could make the collected offsets inconsistent with the second
+    # job's partitions (duplicate/missing vids)
+    from graph_mining_spark.operators.minla import _two_phase_rank
+
+    ranked = _two_phase_rank(files.select("repo", "path"), ["repo", "path"], partitions)
+    return ranked.select(F.col("_rank").alias("vid"), "repo", "path")
 
 
 def shared_content_edges(

@@ -69,29 +69,73 @@ def coconductance_cluster(
     """Returns ``(vid, label)`` canonicalized to min member vid."""
     cfg = config or CoconductanceConfig()
     p = float(cfg.exponent)
+    # input self-loops carry into the objective (reference
+    # InitialState: cluster_edges[i] = EdgeWeight(i, i),
+    # coconductance_internal.cc:43; vol = WeightedDegree counts the
+    # self-loop entry ONCE, graph_utils.cc:33-40) — symmetrize drops
+    # them, so extract ℓ_u from the raw input first (max-dedup of
+    # duplicate rows, matching symmetrize's default edge dedup)
+    loops = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.max(F.col("weight").cast("double")).alias("_loop"))
+    )
     sym = edges if already_symmetric else symmetrize(edges)
     sym = sym.persist(StorageLevel.MEMORY_AND_DISK)
-    verts = vertex_ids(sym)
+    # a vertex whose only edge is a self-loop still participates
+    verts = vertex_ids(sym).unionByName(loops.select("vid")).distinct()
     if node_weights is not None:
         nw = node_weights.select("vid", F.col("node_weight").cast("double"))
     else:
-        # proto objective: vol = weighted degree
+        # proto objective: vol = weighted degree (self-loop once)
         nw = remove_self_loops(sym).groupBy(F.col("src").alias("vid")).agg(
             F.sum("weight").alias("node_weight")
         )
-        nw = verts.join(nw, "vid", "left").select(
-            "vid", F.coalesce("node_weight", F.lit(0.0)).alias("node_weight")
+        nw = (
+            verts.join(nw, "vid", "left")
+            .join(loops, "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.coalesce("node_weight", F.lit(0.0)) + F.coalesce("_loop", F.lit(0.0))
+                ).alias("node_weight"),
+            )
         )
 
     labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
     cur_edges = cut_lineage(remove_self_loops(sym).select("src", "dst", "weight"))
     # node state: weight w and internal (self-loop) weight ℓ
-    cur_state = cut_lineage(nw.select("vid", "node_weight", F.lit(0.0).alias("internal")))
+    cur_state = cut_lineage(
+        nw.join(loops, "vid", "left").select(
+            "vid", "node_weight", F.coalesce("_loop", F.lit(0.0)).alias("internal")
+        )
+    )
     cur_labels = cur_state.select("vid", F.col("vid").alias("label"))
 
     for level in range(cfg.num_levels):
+        # fresh-singleton labels must NEVER collide with an existing
+        # cluster id — neither a current vid (which can be negative at
+        # level >= 1: fresh labels survive contraction as node ids) nor
+        # a fresh label minted in an EARLIER inner iteration (a vacated
+        # one may have been re-occupied by a mover).  Per-iteration
+        # disjoint blocks below everything: iteration it mints
+        #   fresh(u) = base - 1 - it*span - (u - min_vid)
+        # with base = min(0, min_vid) and span = max_vid - min_vid + 1,
+        # so blocks are pairwise disjoint and all < base <= every
+        # pre-existing id.  (One vertex-sized agg per level.)
+        _b = cur_labels.agg(
+            F.min("vid").alias("mn"), F.max("vid").alias("mx")
+        ).first()
+        if _b["mn"] is None:
+            break
+        _min_vid = int(_b["mn"])
+        _span = int(_b["mx"]) - _min_vid + 1
+        _base = min(0, _min_vid)
         level_moved = 0
-        for _ in range(cfg.num_inner_iterations):
+        for _it in range(cfg.num_inner_iterations):
+            _fresh = (
+                F.lit(_base - 1 - _it * _span) - (F.col("vid") - F.lit(_min_vid))
+            )
             lab_nw = cur_labels.join(cur_state, "vid")
             cw = lab_nw.groupBy("label").agg(
                 F.sum("node_weight").alias("_W"),
@@ -182,7 +226,7 @@ def coconductance_cluster(
                         & (F.col("_b.d") > 0),
                         -F.col("_b.negc"),
                     )
-                    .when(F.col("_dnew") > 0, -(F.col("vid") + 1))
+                    .when(F.col("_dnew") > 0, _fresh)
                     .otherwise(F.col("_A"))
                     .alias("label"),
                     (
@@ -256,11 +300,28 @@ def coconductance_objective(
     node_weights: DataFrame | None = None,
 ) -> float:
     """Σ_C (2·E(C)/vol(C))^p — evaluation helper (CoconductanceObjective,
-    coconductance_internal.cc)."""
+    coconductance_internal.cc).  Input self-loops count once into both
+    E(C) and the default vol (WeightedDegree semantics)."""
+    loops = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .groupBy(F.col("src").alias("vid"))
+        .agg(F.max(F.col("weight").cast("double")).alias("_loop"))
+    )
     sym = symmetrize(edges)
     if node_weights is None:
         nw = remove_self_loops(sym).groupBy(F.col("src").alias("vid")).agg(
             F.sum("weight").alias("node_weight")
+        )
+        nw = (
+            labels.select("vid")
+            .join(nw, "vid", "left")
+            .join(loops, "vid", "left")
+            .select(
+                "vid",
+                (
+                    F.coalesce("node_weight", F.lit(0.0)) + F.coalesce("_loop", F.lit(0.0))
+                ).alias("node_weight"),
+            )
         )
     else:
         nw = node_weights.select("vid", F.col("node_weight").cast("double"))
@@ -273,6 +334,14 @@ def coconductance_objective(
         .filter(F.col("_cs") == F.col("_cd"))
         .groupBy(F.col("_cs").alias("label"))
         .agg((F.sum("weight") / 2).alias("E"))
+    )
+    loop_e = labels.join(loops, "vid").groupBy("label").agg(F.sum("_loop").alias("_LE"))
+    per = (
+        per.join(loop_e, "label", "full")
+        .select(
+            "label",
+            (F.coalesce("E", F.lit(0.0)) + F.coalesce("_LE", F.lit(0.0))).alias("E"),
+        )
     )
     vol = labels.join(nw, "vid").groupBy("label").agg(F.sum("node_weight").alias("W"))
     row = (

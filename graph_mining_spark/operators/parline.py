@@ -523,10 +523,16 @@ def parline(
     ranked, keyed = _ranked(paths, partitions, "node_weight" if use_w else None)
     if use_w:
         cluster_weight = total_w / k
+        # clamp to k-1: a ZERO-weight node ranked last has exclusive
+        # prefix == total_w, and floor(total_w / (total_w/k)) == k —
+        # one past the valid 0..k-1 range (float round-up near the
+        # boundary can do the same)
         out = ranked.select(
             "vid",
             "rank",
-            F.floor(F.col("_prefix") / F.lit(cluster_weight)).cast("long").alias("cluster"),
+            F.least(
+                F.floor(F.col("_prefix") / F.lit(cluster_weight)), F.lit(k - 1)
+            ).cast("long").alias("cluster"),
         )
     else:
         size, rem = divmod(n_total, k)

@@ -59,11 +59,22 @@ def quick_cluster(
         raise ValueError("resolution must be nonnegative")
     sym = edges if already_symmetric else symmetrize(edges)
     verts = vertex_ids(sym)
-    nw = (
-        node_weights.select("vid", F.col("node_weight").cast("double"))
-        if node_weights is not None
-        else verts.select("vid", F.lit(1.0).alias("node_weight"))
-    )
+    if node_weights is not None:
+        nw = node_weights.select("vid", F.col("node_weight").cast("double"))
+        neg = nw.filter(F.col("node_weight") < 0).count()
+        if neg:
+            raise ValueError(
+                f"{neg} negative node weight(s): the reference CHECKs "
+                "nonnegativity (quick_cluster.cc:52-56)"
+            )
+        # vertices missing from the caller's table default to 1.0
+        # (SimpleUndirectedGraph's unset node weight) — a LEFT join, so
+        # the inner joins below can never silently drop their edges
+        nw = verts.join(nw, "vid", "left").select(
+            "vid", F.coalesce("node_weight", F.lit(1.0)).alias("node_weight")
+        )
+    else:
+        nw = verts.select("vid", F.lit(1.0).alias("node_weight"))
     nw_s = nw.select(F.col("vid").alias("src"), F.col("node_weight").alias("_ws"))
     nw_d = nw.select(F.col("vid").alias("dst"), F.col("node_weight").alias("_wd"))
     prio = lambda c: F.xxhash64(c, F.lit(seed))  # noqa: E731

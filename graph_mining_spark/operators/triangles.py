@@ -22,8 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
+from graph_mining_spark.checkpoint import cut_lineage
 from graph_mining_spark.graph import canonical_undirected, degrees, symmetrize, vertex_ids
 
 
@@ -51,7 +51,13 @@ def _directed_by_degree(edges: DataFrame) -> DataFrame:
 def triangle_list(edges: DataFrame) -> DataFrame:
     """All triangles, one row each, as ``(u, v, w)`` with u ≺ v ≺ w in
     (degree, vid) rank order."""
-    d = _directed_by_degree(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    # cut_lineage (persist → localCheckpoint → unpersist) instead of a
+    # bare persist: the oriented table is read three times below, but a
+    # plain persist would stay pinned forever — no caller action point
+    # exists to release it (triangle_counts returns a lazy plan), and
+    # a driver looping over many graphs would leak one cache entry per
+    # call, evicting the caches iterative operators rely on
+    d = cut_lineage(_directed_by_degree(edges))
     x = d.select(F.col("u"), F.col("v").alias("v"), F.col("deg_v").alias("_dv"))
     y = d.select(F.col("u"), F.col("v").alias("w"), F.col("deg_v").alias("_dw"))
     rank_lt = (F.col("_dv") < F.col("_dw")) | ((F.col("_dv") == F.col("_dw")) & (F.col("v") < F.col("w")))

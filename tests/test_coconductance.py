@@ -26,10 +26,14 @@ def coconductance_sync_oracle(vids, und_edges, p=1.0, levels=10, inner=10):
     """Sequential replica: snapshot-sync best moves (ties prefer an
     existing cluster, then smaller id; singleton-swap guard), SUM
     contraction carrying internal weights, min-vid canonical output."""
-    # symmetrize max-dedup
+    # symmetrize max-dedup; self-loops carry once into vol and into
+    # the initial internal weight (reference InitialState /
+    # WeightedDegree semantics)
     dedup = {}
+    loop_of = {}
     for u, v, w in und_edges:
         if u == v:
+            loop_of[u] = max(loop_of.get(u, float("-inf")), w)
             continue
         k = (min(u, v), max(u, v))
         dedup[k] = max(dedup.get(k, float("-inf")), w)
@@ -40,11 +44,15 @@ def coconductance_sync_oracle(vids, und_edges, p=1.0, levels=10, inner=10):
     vids = list(vids)
     glob = {v: v for v in vids}
     cur_nodes = [v for v in vids]
-    w_of = {v: sum(adj[v].values()) for v in cur_nodes}  # weighted degree
-    int_of = {v: 0.0 for v in cur_nodes}
+    w_of = {v: sum(adj[v].values()) + loop_of.get(v, 0.0) for v in cur_nodes}
+    int_of = {v: loop_of.get(v, 0.0) for v in cur_nodes}
 
     for _level in range(levels):
         lab = {v: v for v in cur_nodes}
+        # collision-free fresh-label blocks (must match the engine)
+        mn, mx = min(cur_nodes), max(cur_nodes)
+        span = mx - mn + 1
+        base = min(0, mn)
         level_moved = 0
         for _round in range(inner):
             W = defaultdict(float)
@@ -90,7 +98,7 @@ def coconductance_sync_oracle(vids, und_edges, p=1.0, levels=10, inner=10):
                     new_lab[u] = best[1]
                     moved += 1
                 elif d_new > 0:
-                    new_lab[u] = -(u + 1)
+                    new_lab[u] = base - 1 - _round * span - (u - mn)
                     moved += 1
                 else:
                     new_lab[u] = a
@@ -158,6 +166,31 @@ def test_oracle_parity(spark, seed, p):
     want = coconductance_sync_oracle(range(n), und, p=p, levels=3, inner=5)
     want = {v: want[v] for v in got}
     assert canonicalize_clusters(got) == canonicalize_clusters(want)
+
+
+@pytest.mark.parametrize("seed,p", [(7, 1.0)])
+def test_oracle_parity_with_self_loops(spark, seed, p):
+    """Input self-loops: ℓ_u counts once into vol and seeds the
+    internal weight (reference InitialState), so clusterings with
+    loops must still match the sequential replica."""
+    n = 24
+    und = [(u, v, (1 + (u * 3 + v + seed) % 4) * 0.25) for u, v, _ in seeded_er_edges(n, 0.18, seed=seed)]
+    und += [(u, u, 0.5 + (u % 3) * 0.25) for u in range(0, n, 3)]
+    cfg = CoconductanceConfig(exponent=p, num_levels=3, num_inner_iterations=5)
+    got = _labels(coconductance_cluster(make_edges(spark, und), cfg))
+    want = coconductance_sync_oracle(range(n), und, p=p, levels=3, inner=5)
+    want = {v: want[v] for v in got}
+    assert canonicalize_clusters(got) == canonicalize_clusters(want)
+
+
+def test_objective_counts_self_loops(spark):
+    """A lone vertex with only a self-loop: vol = ℓ, E = ℓ, so the
+    singleton objective is (2ℓ/ℓ)^p = 2^p."""
+    e = make_edges(spark, [(0, 0, 3.0)])
+    labels = coconductance_cluster(e)
+    got = _labels(labels)
+    assert got == {0: 0}
+    assert abs(coconductance_objective(e, labels, exponent=2.0) - 4.0) < 1e-9
 
 
 def test_objective_improves_over_singletons(spark):

@@ -756,3 +756,31 @@ def test_audio_features_null_media_id_error_row(spark):
     assert feats[0]["media_id"] is None and feats[0]["rms"] is None
     with _pytest.raises(Exception):
         decode_audio(media).collect()
+
+
+def test_cosine_topk_zero_vector_guard(spark):
+    """An all-zeros embedding must NOT rank #1 for every query (0/0 =
+    NaN sorts above every real under desc order); it scores 0.0 and
+    lands below every positive-cosine neighbor, in all three
+    searchers."""
+    df, vecs = _embeddings(spark, n=20)
+    zero = spark.createDataFrame([(99, [0.0] * 8)], "vec_id long, embedding array<float>")
+    both = df.unionByName(zero)
+    queries = df.filter("vec_id < 4")
+    v = vecs.astype(np.float64)
+    sims = v @ v.T / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :]
+    )
+    got = cosine_topk(both, queries, k=3, round_to=None).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+    for q in range(4):
+        want = sorted((i for i in range(20) if i != q), key=lambda i: (-sims[q, i], i))[:3]
+        assert [n for _, n, _ in sorted(by_q[q])] == want, f"query {q}"
+    # zero-norm QUERY: all candidate cosines are exactly 0.0, no NaN
+    zq = cosine_topk(both, zero, k=3, round_to=None).collect()
+    assert len(zq) == 3 and all(r["cosine"] == 0.0 for r in zq)
+    # IVF path survives the zero vector too (unit-normalization guard)
+    ivf = ivf_cosine_topk(both, queries, k=3, n_lists=4, n_probe=4, kmeans_iters=2).collect()
+    assert all(r["neighbor_id"] != 99 or r["cosine"] == 0.0 for r in ivf)

@@ -286,3 +286,20 @@ def test_cluster_weight_constraint(spark):
         parline(make_edges(spark, triples), ParlineConfig(num_clusters=1))
     with pytest.raises(ValueError):
         parline(make_edges(spark, triples), ParlineConfig())
+
+
+def test_weighted_slicing_zero_weight_clamp(spark):
+    """Zero-weight nodes ranked after all the weight has accumulated
+    have exclusive prefix == total weight, and floor(total/(total/k))
+    is k — the cluster index must clamp into the valid 0..k-1 range."""
+    triples = [(i, i + 1, 1.0) for i in range(7)]
+    nw = spark.createDataFrame(
+        [(3, 8.0)] + [(i, 0.0) for i in range(8) if i != 3],
+        "vid long, node_weight double",
+    )
+    rows = parline(
+        make_edges(spark, triples),
+        ParlineConfig(num_clusters=3, use_node_weights=True),
+        node_weights=nw,
+    ).collect()
+    assert len(rows) == 8 and all(0 <= r["cluster"] <= 2 for r in rows)

@@ -83,3 +83,31 @@ def test_determinism_across_partitions(spark):
     a = {r["vid"]: r["label"] for r in quick_cluster(make_edges(spark, edges).repartition(4)).collect()}
     b = {r["vid"]: r["label"] for r in quick_cluster(make_edges(spark, edges).repartition(17)).collect()}
     assert a == b
+
+
+def test_partial_node_weights_default_to_one(spark):
+    """Vertices missing from a caller node_weights table default to
+    1.0 (the reference's unset SimpleUndirectedGraph node weight) —
+    their edges must not be silently dropped by the weight joins."""
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (3, 4, 1.0)]
+    full = spark.createDataFrame(
+        [(i, 1.0) for i in range(5)], "vid long, node_weight double"
+    )
+    part = spark.createDataFrame([(0, 1.0)], "vid long, node_weight double")
+    a = {
+        r["vid"]: r["label"]
+        for r in quick_cluster(make_edges(spark, edges), resolution=0.1, node_weights=full).collect()
+    }
+    b = {
+        r["vid"]: r["label"]
+        for r in quick_cluster(make_edges(spark, edges), resolution=0.1, node_weights=part).collect()
+    }
+    assert a == b
+
+
+def test_negative_node_weight_raises(spark):
+    import pytest as _pytest
+
+    nw = spark.createDataFrame([(0, -1.0)], "vid long, node_weight double")
+    with _pytest.raises(ValueError, match="negative"):
+        quick_cluster(make_edges(spark, [(0, 1, 1.0)]), node_weights=nw)
