@@ -1,0 +1,180 @@
+"""Property-based invariant tests (hypothesis) over small random
+graphs — complements the fixed-seed oracle suites by letting the
+strategy explore degenerate shapes (duplicate rows, both orientations,
+self-loops, multi-components, isolated stars) with automatic
+shrinking.  Each engine result is compared against a pure-Python
+oracle.  ``derandomize=True`` keeps every CI run reproducible;
+``max_examples`` is small because each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections import defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tests.conftest import make_edges
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(0, 12),
+        st.integers(0, 12),
+        st.floats(0.1, 10.0, allow_nan=False, allow_infinity=False).map(
+            lambda w: round(w, 3)
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _und_max(triples):
+    """Oracle for symmetrize(agg='max'): unordered pair → max weight,
+    self-loops dropped."""
+    best = {}
+    for u, v, w in triples:
+        if u == v:
+            continue
+        k = (min(u, v), max(u, v))
+        best[k] = max(best.get(k, float("-inf")), w)
+    return best
+
+
+@given(triples=edge_lists)
+@settings(**_SETTINGS)
+def test_symmetrize_max_dedup(spark, triples):
+    from graph_mining_spark.graph import symmetrize
+
+    want = _und_max(triples)
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in symmetrize(make_edges(spark, triples)).collect()
+    }
+    expect = {}
+    for (u, v), w in want.items():
+        expect[(u, v)] = w
+        expect[(v, u)] = w
+    assert got == expect
+
+
+@given(triples=edge_lists)
+@settings(**_SETTINGS)
+def test_connected_components_match_union_find(spark, triples):
+    from graph_mining_spark.operators.connected_components import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # the engine's vertex set is ALL raw-edge endpoints — a vertex
+    # whose only edge is a self-loop stays a singleton component
+    verts = set()
+    for u, v, _ in triples:
+        verts.update((u, v))
+        if u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp = defaultdict(list)
+    for x in verts:
+        comp[find(x)].append(x)
+    want = {x: min(comp[find(x)]) for x in verts}
+    got = {
+        r["vid"]: r["label"]
+        for r in connected_components(make_edges(spark, triples)).collect()
+    }
+    assert got == want
+
+
+@given(triples=edge_lists, damping=st.sampled_from([0.5, 0.85]))
+@settings(**_SETTINGS)
+def test_pagerank_mass_conserved(spark, triples, damping):
+    """Rank mass sums to 1 on ANY directed graph the strategy makes —
+    dangling vertices (dst-only), self-loops, duplicates included."""
+    from graph_mining_spark.operators.pagerank import pagerank
+
+    if all(u == v for u, v, _ in triples):
+        return
+    total = (
+        pagerank(make_edges(spark, triples), damping=damping, max_iterations=8)
+        .agg(F.sum("rank"))
+        .first()[0]
+    )
+    assert abs(total - 1.0) < 1e-6
+
+
+@given(triples=edge_lists)
+@settings(**_SETTINGS)
+def test_triangle_counts_match_bruteforce(spark, triples):
+    from graph_mining_spark.operators.triangles import triangle_counts
+
+    und = _und_max(triples)
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    # every raw endpoint appears in the output (0 for triangle-free,
+    # including self-loop-only vertices)
+    all_verts = sorted({x for u, v, _ in triples for x in (u, v)})
+    verts = sorted(adj)
+    want = {x: 0 for x in all_verts}
+    for i, a in enumerate(verts):
+        for b in (x for x in verts[i + 1 :] if x in adj[a]):
+            for c in (x for x in verts if x > b and x in adj[a] and x in adj[b]):
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+    got = {
+        r["vid"]: r["triangles"]
+        for r in triangle_counts(make_edges(spark, triples)).collect()
+    }
+    assert got == want
+
+
+@given(triples=edge_lists)
+@settings(**_SETTINGS)
+def test_sssp_matches_dijkstra(spark, triples):
+    """Directed distances from the smallest src vid, reachable set and
+    values both exact (weights are 3-decimal, sums stay exact in
+    binary-rounded comparison at 1e-9)."""
+    from graph_mining_spark.operators.shortest_paths import sssp
+
+    srcs = [u for u, v, _ in triples]
+    source = min(srcs)
+    adj = defaultdict(list)
+    for u, v, w in triples:
+        adj[u].append((v, w))
+    dist = {source: 0.0}
+    pq = [(0.0, source)]
+    while pq:
+        d, x = heapq.heappop(pq)
+        if d > dist.get(x, float("inf")):
+            continue
+        for y, w in adj[x]:
+            nd = d + w
+            if nd < dist.get(y, float("inf")):
+                dist[y] = nd
+                heapq.heappush(pq, (nd, y))
+    got = {
+        r["vid"]: r["distance"]
+        for r in sssp(make_edges(spark, triples), source_vid=source).collect()
+    }
+    assert set(got) == set(dist)
+    for x in dist:
+        assert abs(got[x] - dist[x]) < 1e-9, x
