@@ -1553,8 +1553,28 @@ def oracle_sql() -> dict[str, str]:
       SELECT query_id, neighbor_id, cosine, CAST(r AS BIGINT) AS rank FROM ranked WHERE r <= 3
     """
     # IVF at n_lists=1 is exhaustive by construction (the single cell
-    # holds every base vector), so the brute-force twin gates it too
-    o["ann_ivf_top3"] = o["ann_cosine_top3"]
+    # holds every base vector), so a brute-force twin gates it — but
+    # with its OWN ranking key: ivf_cosine_topk ranks on the unrounded
+    # cosine (rounding only in the output projection), while the
+    # ann_cosine_top3 twin ranks on the 4dp-rounded value (matching
+    # cosine_topk's round_to=4).  Two candidates straddling a 4dp
+    # rounding boundary at the k=3 cut would order differently under
+    # the borrowed oracle and flake the hash gate.
+    o["ann_ivf_top3"] = """
+      WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(q.qv, e.v) AS cosine
+        FROM q, emb e WHERE q.query_id <> e.vec_id
+      ),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS r
+        FROM scored
+      )
+      SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, CAST(r AS BIGINT) AS rank
+      FROM ranked WHERE r <= 3
+    """
 
     o["fde_embeddings_by_label"] = _fde_oracle_sql()
 

@@ -97,9 +97,14 @@ def main() -> None:
         supersteps["cc"] = len(led.records)
 
     def q_cc_csr():
-        connected_components_csr(sym, already_symmetric=True, shards=shards).agg(
-            F.countDistinct("label")
-        ).first()
+        # own ledger: the CSR loop's full per-round pointer jumping can
+        # converge in fewer gathers than the DF variant's supersteps,
+        # so copying the DF count would overstate _csr throughput
+        led = SuperstepLedger("cc_csr")
+        connected_components_csr(
+            sym, already_symmetric=True, shards=shards, ledger=led
+        ).agg(F.countDistinct("label")).first()
+        supersteps["cc_csr"] = len(led.records)
 
     def q_label_prop():
         affinity_cluster(sym, AffinityConfig(num_iterations=2, edge_aggregation="sum")).agg(
@@ -130,7 +135,6 @@ def main() -> None:
 
     queries = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
     queries["csr_shard_build"] = shard_build
-    supersteps["cc_csr"] = supersteps.get("cc", 0)
     supersteps["label_propagation_2r"] = 2
 
     total = round(sum(queries.values()), 3)

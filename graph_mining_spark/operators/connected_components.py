@@ -238,6 +238,7 @@ def connected_components_csr(
     salt_threshold: int = 100_000,
     already_symmetric: bool = False,
     shards=None,
+    ledger: SuperstepLedger | None = None,
 ) -> DataFrame:
     """CSR fast path: same min-vid fixpoint as
     :func:`connected_components`, but each superstep is ONE distributed
@@ -267,7 +268,7 @@ def connected_components_csr(
     if n == 0:
         return spark.createDataFrame([], "vid long, label long")
     labels = np.arange(n, dtype=np.int64)
-    for _ in range(max_supersteps):
+    for it in range(1, max_supersteps + 1):
         new = gather_min(shards, labels)
         new = np.minimum(new, labels)
         # pointer jumping to a fixpoint is cheap on the driver
@@ -276,7 +277,25 @@ def connected_components_csr(
             if np.array_equal(jumped, new):
                 break
             new = jumped
-        if np.array_equal(new, labels):
+        n_changed = int(np.count_nonzero(new != labels))
+        if ledger is not None:
+            # metrics-only unless this superstep durably checkpoints
+            # (mirrors pagerank_csr — the CSR loop's true gather count
+            # can differ from the DF variant's, so callers measuring
+            # per-superstep throughput need the real number)
+            import pandas as pd
+
+            state = None
+            if ledger.will_checkpoint(it):
+                state = spark.createDataFrame(
+                    pd.DataFrame({"vid": shards.vids, "label": shards.vids[new]}),
+                    schema="vid long, label long",
+                )
+            ledger.record(
+                it, state, metric=float(n_changed), n_active=n_changed,
+                metrics_only=state is None,
+            )
+        if n_changed == 0:
             break
         labels = new
     import pandas as pd

@@ -39,6 +39,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    known = set(entry_mod.queries())
+    unknown = only - known
+    if unknown:
+        # a typo'd filter must not report "0 failures" with zero checks run
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        return 1
     spark = get_spark(app_name="check-oracles")
     con = duckdb.connect()
     for t in TABLES:
@@ -77,7 +83,12 @@ def main() -> int:
         bad = None
         for c in a.columns:
             if pd.api.types.is_float_dtype(a[c]):
-                ok = np.allclose(a[c].to_numpy(), b[c].to_numpy(), atol=1e-9, equal_nan=True)
+                # EXACT — the driver hashes the values; both sides round
+                # to 6dp (cosine 4dp) inside the queries, so matching
+                # decimals are bit-identical doubles, and a tolerance
+                # here would hide exactly the divergence class (opposite
+                # sides of a rounding boundary) the gate exists to catch
+                ok = np.array_equal(a[c].to_numpy(), b[c].to_numpy(), equal_nan=True)
             else:
                 ok = a[c].equals(b[c])
             if not ok:

@@ -175,14 +175,26 @@ def main() -> None:
     ))
 
     # source-level regression guard: no operator may rank through a
-    # Window.partitionBy(F.lit(1)) except the documented cluster-stats
-    # scalar total (affinity.py, lazy total over the per-cluster agg)
+    # global single-partition window except the documented cluster-stats
+    # scalar total (affinity.py, lazy total over the per-cluster agg).
+    # Scan the PACKAGE AS IMPORTED (not a CWD-relative glob, which finds
+    # zero files off-root and passes vacuously) and match the pattern
+    # loosely (any partitionBy whose argument is a literal).
     import pathlib
+    import re
+
+    import graph_mining_spark as _pkg
+
+    pkg_root = pathlib.Path(_pkg.__file__).parent
+    pat = re.compile(r"partitionBy\(\s*(?:F\.)?lit\(")
     offenders = []
-    for p in pathlib.Path("graph_mining_spark").rglob("*.py"):
+    scanned = 0
+    for p in pkg_root.rglob("*.py"):
+        scanned += 1
         for i, line in enumerate(p.read_text().splitlines(), 1):
-            if "partitionBy(F.lit(1))" in line and p.name != "affinity.py":
+            if pat.search(line) and p.name != "affinity.py":
                 offenders.append(f"{p}:{i}")
+    assert scanned > 10, f"guard scanned only {scanned} files — package path wrong"
     if offenders:
         raise SystemExit(f"single-partition window regression: {offenders}")
 
@@ -195,8 +207,13 @@ def main() -> None:
         out += [f"## {title}", "", f"**Expected:** {expect}", "", "```", p.rstrip(), "```", ""]
     with open("EXPLAIN.md", "w") as f:
         f.write("\n".join(out))
-    bad = [t for t, _, p in sections if "BatchEvalPython" in p]
-    print("wrote EXPLAIN.md;", "PYTHON-IN-PLAN:" + str(bad) if bad else "no per-row Python in any plan")
+    # any Python-eval node counts — row-at-a-time (BatchEvalPython) AND
+    # Arrow/pandas nodes (ArrowEvalPython, FlatMapGroupsInPandas,
+    # MapInPandas): the audited operators' stated property is
+    # pure-JVM expressions, so a pandas_udf rewrite is a regression too
+    _py_nodes = ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas")
+    bad = [t for t, _, p in sections if any(n in p for n in _py_nodes)]
+    print("wrote EXPLAIN.md;", "PYTHON-IN-PLAN:" + str(bad) if bad else "no Python eval node in any plan")
     single = [t for t, _, p in sections if "SinglePartition" in p]
     print("single-partition exchanges:", single or "none")
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -89,6 +90,14 @@ def worker(cpus: int) -> None:
     m = e.count()
 
     res: dict = {"cpus": cpus, "edges": m, "queries": {}, "supersteps": {}}
+    # the check_every=10 batching below only engages when NO vertex is
+    # dangling (pagerank falls back to per-step sync + dangling-mass
+    # redistribution otherwise, pagerank.py:126) — at the default sizes
+    # a vertex is never drawn as src with probability ~21%, so RECORD
+    # whether the methodology's "one materialization" claim held
+    n_src = e.select("src").distinct().count()
+    res["dangling_vertices"] = int(N_VERT - n_src)
+    res["pagerank_batched"] = res["dangling_vertices"] == 0
 
     # DataFrame supersteps — the unbounded-scale path; check_every
     # batches all 10 supersteps into one materialization so the
@@ -169,10 +178,7 @@ def worker(cpus: int) -> None:
     print("SCALING_JSON " + json.dumps(res))
 
 
-def _median(xs):
-    s = sorted(xs)
-    n = len(s)
-    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+_median = statistics.median  # same definition bench.py uses
 
 
 def orchestrate(repeats: int = 3) -> None:
@@ -224,11 +230,12 @@ def orchestrate(repeats: int = 3) -> None:
 
     thr8 = results[LEVEL_N]["edges_per_sec_per_superstep"]
     thr32 = results[LEVEL_4N]["edges_per_sec_per_superstep"]
-    eff = thr32 / thr8 / 4.0
+    ratio = LEVEL_4N / LEVEL_N  # the levels are env-configurable
+    eff = thr32 / thr8 / ratio
     per_q = {}
     for qname in results[LEVEL_N]["queries"]:
         s8, s32 = results[LEVEL_N]["queries"][qname], results[LEVEL_4N]["queries"][qname]
-        per_q[qname] = (s8, s32, round(s8 / s32 / 4.0, 3))
+        per_q[qname] = (s8, s32, round(s8 / s32 / ratio, 3))
 
     ln, l4 = f"local[{LEVEL_N}]", f"local[{LEVEL_4N}]"
     cal_n = results[LEVEL_N]["queries"].get("shuffle_calibration")
@@ -325,8 +332,22 @@ def orchestrate(repeats: int = 3) -> None:
     ]
     out_path = os.path.join(os.path.dirname(here), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # REPLACE only the scaling section: the same file carries
+    # hand-maintained headline-bench and TeraHac-kernel sections (a
+    # wholesale rewrite silently deleted them once — restored in
+    # 7aa8966); preserve everything from the first such heading on
+    preserved = ""
+    if os.path.exists(out_path):
+        existing = open(out_path).read()
+        idxs = [
+            existing.find(pat)
+            for pat in ("\n## Round-4 headline bench", "\n## Round-5 headline bench", "\n## TeraHac")
+        ]
+        idxs = [i for i in idxs if i != -1]
+        if idxs:
+            preserved = existing[min(idxs):]
     with open(out_path, "w") as f:
-        f.write("\n".join(md))
+        f.write("\n".join(md) + preserved)
     print(f"wrote {out_path}; efficiency={eff:.3f}")
 
 
