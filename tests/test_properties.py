@@ -178,3 +178,99 @@ def test_sssp_matches_dijkstra(spark, triples):
     assert set(got) == set(dist)
     for x in dist:
         assert abs(got[x] - dist[x]) < 1e-9, x
+
+
+@given(triples=edge_lists)
+@settings(**_SETTINGS)
+def test_affinity_labels_form_min_partition(spark, triples):
+    """affinity_cluster output is a PARTITION of the vertex set with
+    label = min member vid, on any random multigraph shape."""
+    from graph_mining_spark.operators.affinity import AffinityConfig, affinity_cluster
+
+    if all(u == v for u, v, _ in triples):
+        return
+    rows = affinity_cluster(
+        make_edges(spark, triples), AffinityConfig(num_iterations=2)
+    ).collect()
+    verts = {x for u, v, _ in triples if u != v for x in (u, v)}
+    got = {r["vid"]: r["label"] for r in rows}
+    assert len(rows) == len(got) == len(verts) and set(got) == verts
+    members = defaultdict(list)
+    for vid, lab in got.items():
+        members[lab].append(vid)
+    for lab, mem in members.items():
+        assert lab == min(mem)
+
+
+@given(triples=edge_lists, metric=st.sampled_from(["jaccard", "cosine", "common"]))
+@settings(**_SETTINGS)
+def test_pairwise_similarity_matches_bruteforce(spark, triples, metric):
+    from graph_mining_spark.operators.similarity import pairwise_similarity
+
+    und = _und_max(triples)
+    nbr = defaultdict(set)
+    for u, v in und:
+        nbr[u].add(v)
+        nbr[v].add(u)
+    vs = sorted(nbr)
+    want = {}
+    for i, a in enumerate(vs):
+        for b in vs[i + 1 :]:
+            c = len(nbr[a] & nbr[b])
+            if not c:
+                continue
+            if metric == "jaccard":
+                s = c / len(nbr[a] | nbr[b])
+            elif metric == "cosine":
+                s = c / (len(nbr[a]) * len(nbr[b])) ** 0.5
+            else:
+                s = float(c)
+            want[(a, b)] = s
+    got = {
+        (r["a"], r["b"]): r["similarity"]
+        for r in pairwise_similarity(make_edges(spark, triples), metric=metric).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - round(want[k], 6)) < 1e-9, k
+
+
+doc_texts = st.lists(
+    st.lists(st.sampled_from("alpha beta gamma delta eps".split()), min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts=doc_texts)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_pairs_match_bruteforce(spark, texts):
+    """Word-3-gram Jaccard pairs at threshold 0.2 equal the brute-force
+    distinct-shingle-set computation (small word alphabet forces both
+    heavy overlap and empty-shingle docs)."""
+    from graph_mining_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    n = 3
+    sets = {}
+    for i, t in enumerate(texts):
+        toks = t.split()
+        sets[i] = {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a >= b or not sets[a] or not sets[b]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = round(inter / len(sets[a] | sets[b]), 6)
+            if j >= 0.2:
+                want[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, n=n, threshold=0.2).collect()
+    }
+    assert got == want
