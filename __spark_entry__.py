@@ -381,7 +381,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             modularity_cluster(region_clique_edges(s, d), resolution=0.5),
             "modularity_cliques",
         )
-        return louv.unionByName(blk).unionByName(mod)
+        # classic synchronous LPA (north rule: "label-propagation
+        # community detection"), two provable regimes: on disjoint
+        # cliques sync LPA converges to the min-member labels (round 1
+        # elects (min, second-min), round 2 is a strict majority for
+        # the min — see operators/label_propagation.py); on the
+        # weighted bipartite graph a FIXED 2-iteration run has a direct
+        # SQL twin (iter1 votes reduce to best-neighbor because labels
+        # start as the identity)
+        from graph_mining_spark.operators.label_propagation import label_propagation
+
+        lpa_c = label_propagation(region_clique_edges(s, d), max_iterations=20).select(
+            F.lit("lpa_cliques").alias("variant"), "vid", "label"
+        )
+        lpa_2 = label_propagation(
+            bipartite_sym(s, d), max_iterations=2, already_symmetric=True
+        ).select(F.lit("lpa_sync_iter2").alias("variant"), "vid", "label")
+        return louv.unionByName(blk).unionByName(mod).unionByName(lpa_c).unionByName(lpa_2)
 
     q["louvain_modularity_labels"] = _louvain_modularity
 
@@ -1405,6 +1421,34 @@ def oracle_sql() -> dict[str, str]:
       SELECT 'louvain_block_async', vid, label FROM cc
       UNION ALL
       SELECT 'modularity_cliques', vid, label FROM ({REGION_CLIQUE_LABELS_SQL})
+      UNION ALL
+      SELECT 'lpa_cliques', vid, label FROM ({REGION_CLIQUE_LABELS_SQL})
+      UNION ALL
+      SELECT 'lpa_sync_iter2', vid, label FROM (
+        -- two synchronous LPA rounds on the weighted bipartite graph:
+        -- labels start as the identity, so round-1 votes are exactly
+        -- the (deduped) edge weights and the winner is the
+        -- (weight DESC, dst ASC) best neighbor; round 2 sums weights
+        -- by the round-1 label of each neighbor
+        WITH be AS ({BIPARTITE_SYM_SQL}),
+        l1 AS (
+          SELECT src AS vid, dst AS label FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY weight DESC, dst ASC) AS rn
+            FROM be) WHERE rn = 1
+        ),
+        v2 AS (
+          SELECT be.src AS vid, l1.label, sum(be.weight) AS w
+          FROM be JOIN l1 ON be.dst = l1.vid
+          GROUP BY 1, 2
+        )
+        SELECT vid, label FROM (
+          SELECT vid, label,
+                 row_number() OVER (PARTITION BY vid
+                                    ORDER BY w DESC, label ASC) AS rn
+          FROM v2) WHERE rn = 1
+      )
     """
 
     # clique-partition optimum twin for coconductance (per-cluster

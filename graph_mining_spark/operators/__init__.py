@@ -14,6 +14,7 @@ from graph_mining_spark.operators.coconductance import (
 from graph_mining_spark.operators.hac import parhac, ParHacConfig, flatten_dendrogram
 from graph_mining_spark.operators.dynamic_hac import DynamicHac, UpdateStats
 from graph_mining_spark.operators.terahac import terahac, TeraHacConfig
+from graph_mining_spark.operators.label_propagation import label_propagation
 from graph_mining_spark.operators.quick_cluster import quick_cluster
 from graph_mining_spark.operators.shortest_paths import sssp
 from graph_mining_spark.operators.similarity import pairwise_similarity
@@ -55,6 +56,7 @@ __all__ = [
     "UpdateStats",
     "terahac",
     "TeraHacConfig",
+    "label_propagation",
     "quick_cluster",
     "sssp",
     "pairwise_similarity",

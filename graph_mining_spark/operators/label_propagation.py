@@ -1,0 +1,147 @@
+"""Label-propagation community detection (synchronous LPA).
+
+Classic LPA (Raghavan, Albert & Kumara 2007): every vertex starts in
+its own community and repeatedly adopts the label carrying the maximum
+total incident edge weight among its neighbors.  The reference library
+ships the same label-propagation FAMILY as affinity clustering
+(/root/reference/in_memory/clustering/affinity/parallel_affinity.cc —
+best-single-neighbor adoption + contraction); this operator is the
+mode-of-neighbor-labels member of that family, named explicitly by the
+engine's north rule ("label-propagation community detection").
+
+Determinism: the textbook algorithm visits vertices in random order
+and breaks ties randomly, which has no reproducible cluster analog —
+exactly the async-vs-sync trade documented for correlation clustering
+(operators/correlation.py:36).  We make the same choice as there:
+SYNCHRONOUS rounds (every vertex votes on the PREVIOUS round's labels)
+with a total tie order, (vote weight DESC, label ASC).  Output is then
+a pure function of the graph, independent of partitioning and
+scheduling.
+
+Semantics per superstep t (labels L_t, symmetric weighted edges w):
+
+    votes_t(v, l)  = Σ_{u ∈ N(v), L_t(u) = l} w(v, u)
+    L_{t+1}(v)     = argmax_l (votes_t(v, l), tie → min l)   if N(v) ≠ ∅
+    L_{t+1}(v)     = L_t(v)                                   otherwise
+
+Termination: stop when no label changed, or after ``max_iterations``.
+Synchronous LPA can 2-cycle on near-bipartite structure (a single
+edge {u, v} swaps labels forever), so the iteration cap is a real
+bound, not just a safety net; callers that need a converged fixpoint
+should verify ``changed == 0`` via the ledger metrics.  On graphs
+whose communities are locally dense (e.g. disjoint cliques) the sync
+schedule provably converges: after round 1 a clique's min vertex
+holds a strict majority and every later round is unanimous.
+
+Scale design (same shape as the CC/PageRank superstep loops):
+  - the symmetrized edge table is hash-partitioned by ``dst`` ONCE and
+    persisted; every superstep joins the (vertex-sized) label table to
+    it on that same key, so the m-row side never reshuffles;
+  - the per-(vertex, label) vote sum is a groupBy with MAP-SIDE partial
+    aggregation — a hub's inbound votes collapse per map partition
+    before the shuffle, bounding reduce fan-in by #partitions;
+  - the argmax is a max-over-struct aggregation, never a row_number
+    window (no single-task funnel for hub vertices);
+  - per-superstep lineage is cut (and the loop made resumable) through
+    SuperstepLedger, with the changed-count riding the checkpoint
+    materialization as an Observation — one Spark job per superstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from graph_mining_spark.checkpoint import SuperstepLedger, cut_lineage
+from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_iterations: int = 10,
+    already_symmetric: bool = False,
+    ledger: SuperstepLedger | None = None,
+    resume_from: tuple[int, DataFrame] | None = None,
+) -> DataFrame:
+    """Synchronous weighted label propagation.
+
+    ``edges``: (src, dst, weight); symmetrized internally unless
+    ``already_symmetric`` (vote sums are NOT idempotent over duplicate
+    edge rows, so unlike connected_components this must be the proper
+    deduplicating ``symmetrize``).  Self-loops are ignored (a vertex
+    does not vote for itself; matches the affinity family's
+    remove_self_loops preamble).
+    ``vertices`` (optional, one ``vid`` column) adds isolated vertices,
+    which keep their own label.
+    ``resume_from``: (superstep, state) from SuperstepLedger.resume().
+
+    Returns ``(vid: long, label: long)``.
+    """
+    if already_symmetric:
+        sym = remove_self_loops(edges.select("src", "dst", "weight"))
+    else:
+        sym = remove_self_loops(symmetrize(edges))
+    # votes aggregate BY RECEIVER: partition the big table by dst once,
+    # so each round's labels⋈edges join reuses this partitioning
+    e = sym.repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
+
+    verts = vertex_ids(e) if vertices is None else vertices.select(
+        F.col("vid").cast("long")
+    ).distinct()
+
+    if resume_from is not None:
+        start, labels = resume_from
+        labels = labels.select("vid", "label")
+    else:
+        start = 0
+        labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
+
+    from pyspark.sql import Observation
+
+    step = start
+    while step < max_iterations:
+        step += 1
+        # neighbor labels: edge (src→dst) delivers L(dst) to src's vote
+        nbr = labels.withColumnRenamed("vid", "dst")
+        votes = (
+            e.join(nbr, "dst")
+            .groupBy(F.col("src").alias("vid"), "label")
+            .agg(F.sum("weight").alias("_w"))
+        )
+        # argmax by (weight DESC, label ASC) == min over the
+        # (-weight, label) struct — map-side-combined aggregation
+        winner = (
+            votes.groupBy("vid")
+            .agg(F.min(F.struct((-F.col("_w")).alias("_nw"), F.col("label"))).alias("_m"))
+            .select("vid", F.col("_m.label").alias("_new"))
+        )
+        stepped = (
+            labels.join(winner, "vid", "left")
+            .select(
+                "vid",
+                F.coalesce("_new", "label").alias("label"),
+                F.col("label").alias("_prev"),
+            )
+        )
+        obs = Observation(f"lpa_{step}")
+        staged = stepped.select(
+            "vid", "label", (F.col("label") != F.col("_prev")).alias("_chg")
+        ).observe(
+            obs,
+            F.sum(F.col("_chg").cast("long")).alias("metric"),
+            F.sum(F.col("_chg").cast("long")).alias("n_active"),
+        )
+        if ledger is not None:
+            state = ledger.record(step, staged, observation=obs)
+            n_changed = int(ledger.records[-1]["metric"])
+        else:
+            state = cut_lineage(staged)
+            n_changed = int(obs.get["metric"] or 0)
+        labels = state.select("vid", "label")
+        if n_changed == 0:
+            break
+
+    e.unpersist()
+    return labels
