@@ -57,6 +57,34 @@ from graph_mining_spark.checkpoint import SuperstepLedger, cut_lineage
 from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
 
 
+def lpa_superstep(e: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous vote round: (vid, label, _prev).
+
+    ``e`` must be symmetric and self-loop-free.  Exposed separately so
+    the EXPLAIN audit can inspect the exact superstep plan the loop
+    executes: one edges⋈labels hash join (reusing e's dst
+    partitioning), one (vid, label) partial-aggregated vote sum, a
+    max-struct argmax, and a vertex-sized left join — no windows over
+    the edge table, no Python in the plan.
+    """
+    nbr = labels.withColumnRenamed("vid", "dst")
+    votes = (
+        e.join(nbr, "dst")
+        .groupBy(F.col("src").alias("vid"), "label")
+        .agg(F.sum("weight").alias("_w"))
+    )
+    winner = (
+        votes.groupBy("vid")
+        .agg(F.min(F.struct((-F.col("_w")).alias("_nw"), F.col("label"))).alias("_m"))
+        .select("vid", F.col("_m.label").alias("_new"))
+    )
+    return labels.join(winner, "vid", "left").select(
+        "vid",
+        F.coalesce("_new", "label").alias("label"),
+        F.col("label").alias("_prev"),
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     vertices: DataFrame | None = None,
@@ -103,28 +131,10 @@ def label_propagation(
     step = start
     while step < max_iterations:
         step += 1
-        # neighbor labels: edge (src→dst) delivers L(dst) to src's vote
-        nbr = labels.withColumnRenamed("vid", "dst")
-        votes = (
-            e.join(nbr, "dst")
-            .groupBy(F.col("src").alias("vid"), "label")
-            .agg(F.sum("weight").alias("_w"))
-        )
-        # argmax by (weight DESC, label ASC) == min over the
-        # (-weight, label) struct — map-side-combined aggregation
-        winner = (
-            votes.groupBy("vid")
-            .agg(F.min(F.struct((-F.col("_w")).alias("_nw"), F.col("label"))).alias("_m"))
-            .select("vid", F.col("_m.label").alias("_new"))
-        )
-        stepped = (
-            labels.join(winner, "vid", "left")
-            .select(
-                "vid",
-                F.coalesce("_new", "label").alias("label"),
-                F.col("label").alias("_prev"),
-            )
-        )
+        # neighbor labels: edge (src→dst) delivers L(dst) to src's
+        # vote; argmax by (weight DESC, label ASC) == min over the
+        # (-weight, label) struct — map-side-combined aggregations
+        stepped = lpa_superstep(e, labels)
         obs = Observation(f"lpa_{step}")
         staged = stepped.select(
             "vid", "label", (F.col("label") != F.col("_prev")).alias("_chg")

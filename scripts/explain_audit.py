@@ -110,6 +110,19 @@ def main() -> None:
                         parts=parts)),
     ))
 
+    from graph_mining_spark.operators.label_propagation import lpa_superstep
+
+    sections.append((
+        "LPA superstep (synchronous weighted label propagation)",
+        "one edges⋈labels hash join on dst (the edge table is persisted "
+        "partitioned by dst once, so only the vertex-sized label table "
+        "moves per round), a (vid, label) vote sum and the max-struct "
+        "argmax both with partial aggregation (map-side combine bounds "
+        "hub fan-in), and one vertex-sized left join — no window over "
+        "the edge table, no Python eval node.",
+        plan(lpa_superstep(sym, labels)),
+    ))
+
     from graph_mining_spark.functions.ann import ivf_cosine_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
