@@ -274,3 +274,30 @@ def test_ngram_jaccard_pairs_match_bruteforce(spark, texts):
         for r in ngram_jaccard_pairs(docs, n=n, threshold=0.2).collect()
     }
     assert got == want
+
+
+int_weight_edges = st.lists(
+    st.tuples(
+        st.integers(0, 12),
+        st.integers(0, 12),
+        # INTEGER-valued weights: LPA vote sums stay exact, so the
+        # (sum desc, label asc) argmax cannot flip on float-addition
+        # order between Spark's partial aggregation and the oracle
+        st.integers(1, 9).map(float),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(triples=int_weight_edges, iters=st.sampled_from([1, 3]))
+@settings(**_SETTINGS)
+def test_label_propagation_matches_sequential(spark, triples, iters):
+    from graph_mining_spark.operators.label_propagation import label_propagation
+    from tests.test_label_propagation import lpa_oracle
+
+    got = {
+        (r["vid"]): r["label"]
+        for r in label_propagation(make_edges(spark, triples), max_iterations=iters).collect()
+    }
+    assert got == lpa_oracle(triples, iters)
