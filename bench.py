@@ -107,6 +107,10 @@ def main() -> None:
         supersteps["cc_csr"] = len(led.records)
 
     def q_label_prop():
+        # two AFFINITY label-propagation rounds (best-neighbor + forest
+        # CC + contraction) — the key predates the classic sync-LPA
+        # operator (operators/label_propagation.py, round 5) and keeps
+        # its r02-r04 meaning for cross-round comparability
         affinity_cluster(sym, AffinityConfig(num_iterations=2, edge_aggregation="sum")).agg(
             F.countDistinct("label")
         ).first()

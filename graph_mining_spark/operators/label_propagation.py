@@ -40,6 +40,11 @@ Scale design (same shape as the CC/PageRank superstep loops):
   - the per-(vertex, label) vote sum is a groupBy with MAP-SIDE partial
     aggregation — a hub's inbound votes collapse per map partition
     before the shuffle, bounding reduce fan-in by #partitions;
+  - DELTA rounds: once few labels changed (known exactly from the
+    Observation), only the changed vertices' neighborhoods re-vote —
+    exact, because an unchanged neighborhood reproduces the same vote;
+    late rounds shuffle the shrinking frontier's incident votes, not
+    all m edges (the CC loop's frontier design, adapted to mode votes);
   - the argmax is a max-over-struct aggregation, never a row_number
     window (no single-task funnel for hub vertices);
   - per-superstep lineage is cut (and the loop made resumable) through
@@ -57,7 +62,9 @@ from graph_mining_spark.checkpoint import SuperstepLedger, cut_lineage
 from graph_mining_spark.graph import remove_self_loops, symmetrize, vertex_ids
 
 
-def lpa_superstep(e: DataFrame, labels: DataFrame) -> DataFrame:
+def lpa_superstep(
+    e: DataFrame, labels: DataFrame, affected: DataFrame | None = None
+) -> DataFrame:
     """One synchronous vote round: (vid, label, _prev).
 
     ``e`` must be symmetric and self-loop-free.  Exposed separately so
@@ -66,10 +73,22 @@ def lpa_superstep(e: DataFrame, labels: DataFrame) -> DataFrame:
     partitioning), one (vid, label) partial-aggregated vote sum, a
     max-struct argmax, and a vertex-sized left join — no windows over
     the edge table, no Python in the plan.
+
+    ``affected`` (optional, one ``src`` column): restrict the vote
+    recompute to these voters.  A vertex none of whose neighbors
+    changed label last round would recompute the identical vote, so
+    skipping it is EXACT — the caller passes the changed vertices'
+    neighborhood.  Applied as a broadcast semi-join AFTER the dst-side
+    label join (same stage, no re-partition of ``e``), so the m-row
+    table is scanned but only affected-voter rows enter the vote
+    shuffle.
     """
     nbr = labels.withColumnRenamed("vid", "dst")
+    joined = e.join(nbr, "dst")
+    if affected is not None:
+        joined = joined.join(F.broadcast(affected), "src", "left_semi")
     votes = (
-        e.join(nbr, "dst")
+        joined
         .groupBy(F.col("src").alias("vid"), "label")
         .agg(F.sum("weight").alias("_w"))
     )
@@ -92,6 +111,7 @@ def label_propagation(
     already_symmetric: bool = False,
     ledger: SuperstepLedger | None = None,
     resume_from: tuple[int, DataFrame] | None = None,
+    broadcast_threshold: int = 131_072,
 ) -> DataFrame:
     """Synchronous weighted label propagation.
 
@@ -104,6 +124,18 @@ def label_propagation(
     ``vertices`` (optional, one ``vid`` column) adds isolated vertices,
     which keep their own label.
     ``resume_from``: (superstep, state) from SuperstepLedger.resume().
+
+    ``broadcast_threshold``: once the previous round changed at most
+    this many labels (known exactly from the Observation), the round
+    switches to the DELTA path: only vertices with a changed neighbor
+    re-vote (exact — an unchanged neighborhood reproduces the same
+    vote), with both the changed set and its neighborhood applied as
+    broadcast semi-joins.  The neighborhood set is counted first (one
+    cheap extra job) and the round falls back to the full recompute if
+    a changed hub makes it too large to broadcast.  0 disables the
+    delta path.  Late rounds of a converging run then shuffle only the
+    shrinking frontier's incident votes instead of all m edges — the
+    same frontier design as the CC loop.
 
     Returns ``(vid: long, label: long)``.
     """
@@ -128,13 +160,38 @@ def label_propagation(
 
     from pyspark.sql import Observation
 
+    # changed-label frontier from the previous round; None = unknown
+    # (first round, or a blind resume) → full recompute
+    changed: DataFrame | None = None
+    n_changed: int | None = None
+
     step = start
     while step < max_iterations:
         step += 1
         # neighbor labels: edge (src→dst) delivers L(dst) to src's
         # vote; argmax by (weight DESC, label ASC) == min over the
         # (-weight, label) struct — map-side-combined aggregations
-        stepped = lpa_superstep(e, labels)
+        aff = None
+        if (
+            changed is not None
+            and n_changed is not None
+            and 0 < n_changed <= broadcast_threshold
+        ):
+            # voters whose vote can differ = neighbors of last round's
+            # changed vertices (the graph is symmetric, so out-
+            # neighbors of changed == vertices that hear the change)
+            cand = (
+                e.join(F.broadcast(changed.select(F.col("vid").alias("dst"))),
+                       "dst", "left_semi")
+                .select("src")
+                .distinct()
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            if cand.count() <= broadcast_threshold:
+                aff = cand
+            else:  # a changed hub fans out too wide to broadcast
+                cand.unpersist()
+        stepped = lpa_superstep(e, labels, affected=aff)
         obs = Observation(f"lpa_{step}")
         staged = stepped.select(
             "vid", "label", (F.col("label") != F.col("_prev")).alias("_chg")
@@ -149,7 +206,10 @@ def label_propagation(
         else:
             state = cut_lineage(staged)
             n_changed = int(obs.get["metric"] or 0)
+        if aff is not None:
+            aff.unpersist()
         labels = state.select("vid", "label")
+        changed = state.filter("_chg").select("vid", "label")
         if n_changed == 0:
             break
 

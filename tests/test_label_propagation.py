@@ -98,3 +98,36 @@ def test_partition_invariance(spark):
     assert _labels(label_propagation(e1, max_iterations=3)) == _labels(
         label_propagation(e7, max_iterations=3)
     )
+
+
+def test_delta_path_matches_full_recompute(spark):
+    # same labels whether the frontier optimization is off (threshold
+    # 0), aggressive (huge threshold: delta from round 2 on), or tiny
+    # (threshold 2: exercises the changed-hub fallback when the
+    # frontier's neighborhood outgrows the broadcast bound)
+    for seed in (3, 11):
+        triples = seeded_er_edges(40, 0.08, seed=seed, weighted=True)
+        e = make_edges(spark, triples)
+        for iters in (2, 6):
+            want = _labels(label_propagation(e, max_iterations=iters, broadcast_threshold=0))
+            assert want == lpa_oracle(triples, iters), (seed, iters)
+            for thr in (2, 1 << 20):
+                got = _labels(
+                    label_propagation(e, max_iterations=iters, broadcast_threshold=thr)
+                )
+                assert got == want, (seed, iters, thr)
+
+
+def test_delta_round_skips_settled_voters(spark):
+    # two far-apart cliques: after the cliques settle, an appended
+    # pendant chain keeps a small frontier moving — delta rounds must
+    # reproduce the full-recompute labels exactly while it propagates
+    k5 = [(u, v, 1.0) for u in range(5) for v in range(u + 1, 5)]
+    k4 = [(u, v, 1.0) for u in range(10, 14) for v in range(u + 1, 14)]
+    chain = [(4, 20, 0.5), (20, 21, 0.5), (21, 22, 0.5), (22, 23, 0.5)]
+    triples = k5 + k4 + chain
+    e = make_edges(spark, triples)
+    for iters in (3, 8):
+        assert _labels(
+            label_propagation(e, max_iterations=iters, broadcast_threshold=1 << 20)
+        ) == lpa_oracle(triples, iters), iters
