@@ -123,6 +123,17 @@ def main() -> None:
         plan(lpa_superstep(sym, labels)),
     ))
 
+    sections.append((
+        "LPA delta superstep (small changed frontier)",
+        "the frontier's neighborhood enters as a BroadcastHashJoin "
+        "LeftSemi in the SAME stage as the dst-side label join — no "
+        "re-partition of the edge table; only affected-voter rows reach "
+        "the vote shuffle, so a converged region costs scan-only.",
+        plan(lpa_superstep(sym, labels,
+                           affected=labels.filter(F.col("vid") % 97 == 0)
+                           .select(F.col("vid").alias("src")))),
+    ))
+
     from graph_mining_spark.functions.ann import ivf_cosine_topk
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
