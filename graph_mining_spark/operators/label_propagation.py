@@ -24,14 +24,22 @@ Semantics per superstep t (labels L_t, symmetric weighted edges w):
     L_{t+1}(v)     = argmax_l (votes_t(v, l), tie → min l)   if N(v) ≠ ∅
     L_{t+1}(v)     = L_t(v)                                   otherwise
 
-Termination: stop when no label changed, or after ``max_iterations``.
-Synchronous LPA can 2-cycle on near-bipartite structure (a single
-edge {u, v} swaps labels forever), so the iteration cap is a real
-bound, not just a safety net; callers that need a converged fixpoint
-should verify ``changed == 0`` via the ledger metrics.  On graphs
-whose communities are locally dense (e.g. disjoint cliques) the sync
-schedule provably converges: after round 1 a clique's min vertex
-holds a strict majority and every later round is unanimous.
+Termination: synchronous weighted-majority dynamics over symmetric
+weights always reach a FIXPOINT or a PERIOD-2 CYCLE (Goles & Olivos,
+"Periodic behaviour of generalized threshold functions", Discrete
+Math. 30, 1980) — e.g. a single edge {u, v} swaps labels forever, and
+near-bipartite regions 2-cycle wholesale (measured: 270 of 360
+vertices on the synthetic source-link graph).  The loop therefore
+stops on EITHER terminal state: no label changed (fixpoint), or
+``L_t == L_{t-2}`` (2-cycle; the current phase is returned), both
+detected by counters folded into the per-superstep checkpoint job —
+at a trillion edges, burning the remaining iteration budget inside a
+detected cycle would be pure waste.  ``max_iterations`` stays the
+outer bound.  On graphs whose communities are locally dense (e.g.
+disjoint cliques of size ≥ 3 — a 2-clique IS the single-edge
+oscillator) the sync schedule provably converges: after round 1 a
+clique's min vertex holds a majority-or-tie-winning vote and every
+later round is unanimous.
 
 Scale design (same shape as the CC/PageRank superstep loops):
   - the symmetrized edge table is hash-partitioned by ``dst`` ONCE and
@@ -112,6 +120,7 @@ def label_propagation(
     ledger: SuperstepLedger | None = None,
     resume_from: tuple[int, DataFrame] | None = None,
     broadcast_threshold: int = 131_072,
+    stop_on_cycle: bool = True,
 ) -> DataFrame:
     """Synchronous weighted label propagation.
 
@@ -126,16 +135,25 @@ def label_propagation(
     ``resume_from``: (superstep, state) from SuperstepLedger.resume().
 
     ``broadcast_threshold``: once the previous round changed at most
-    this many labels (known exactly from the Observation), the round
-    switches to the DELTA path: only vertices with a changed neighbor
-    re-vote (exact — an unchanged neighborhood reproduces the same
-    vote), with both the changed set and its neighborhood applied as
-    broadcast semi-joins.  The neighborhood set is counted first (one
-    cheap extra job) and the round falls back to the full recompute if
-    a changed hub makes it too large to broadcast.  0 disables the
-    delta path.  Late rounds of a converging run then shuffle only the
+    this many labels (known exactly from the Observation) AND the
+    frontier is a small fraction of the graph (≤ n/8 — a full-size
+    "frontier", normal while the dynamics are mixing, would make the
+    delta machinery pure overhead), the round switches to the DELTA
+    path: only vertices with a changed neighbor re-vote (exact — an
+    unchanged neighborhood reproduces the same vote), with both the
+    changed set and its neighborhood applied as broadcast semi-joins.
+    The neighborhood set is counted first (one cheap extra job) and
+    the round falls back to the full recompute if a changed hub fans
+    it out past the broadcast bound or past n/2.  0 disables the delta
+    path.  Late rounds of a converging run then shuffle only the
     shrinking frontier's incident votes instead of all m edges — the
     same frontier design as the CC loop.
+
+    ``stop_on_cycle``: also stop when ``L_t == L_{t-2}`` (the only
+    non-fixpoint terminal state of these dynamics — module docstring),
+    returning the current phase.  The check is a vertex-sized join
+    against the previous round's checkpointed state and a counter in
+    the same single-job Observation.
 
     Returns ``(vid: long, label: long)``.
     """
@@ -161,9 +179,13 @@ def label_propagation(
     from pyspark.sql import Observation
 
     # changed-label frontier from the previous round; None = unknown
-    # (first round, or a blind resume) → full recompute
+    # (first round, or a blind resume) → full recompute.  prev_state
+    # (vid, label, _prev) is the previous round's CHECKPOINTED state —
+    # its _prev column is L_{t-2}, which the cycle check joins against.
     changed: DataFrame | None = None
     n_changed: int | None = None
+    n_verts: int | None = None
+    prev_state: DataFrame | None = None
 
     step = start
     while step < max_iterations:
@@ -176,6 +198,8 @@ def label_propagation(
             changed is not None
             and n_changed is not None
             and 0 < n_changed <= broadcast_threshold
+            and n_verts is not None
+            and n_changed * 8 <= n_verts
         ):
             # voters whose vote can differ = neighbors of last round's
             # changed vertices (the graph is symmetric, so out-
@@ -187,18 +211,31 @@ def label_propagation(
                 .distinct()
                 .persist(StorageLevel.MEMORY_AND_DISK)
             )
-            if cand.count() <= broadcast_threshold:
+            n_cand = cand.count()
+            if n_cand <= broadcast_threshold and n_cand * 2 <= n_verts:
                 aff = cand
-            else:  # a changed hub fans out too wide to broadcast
+            else:  # a changed hub fans out too wide — recompute all
                 cand.unpersist()
         stepped = lpa_superstep(e, labels, affected=aff)
+        cycle_armed = stop_on_cycle and prev_state is not None
+        if cycle_armed:
+            p2 = prev_state.select("vid", F.col("_prev").alias("_p2"))
+            stepped = stepped.join(p2, "vid")
+        else:
+            stepped = stepped.withColumn("_p2", F.lit(None).cast("long"))
         obs = Observation(f"lpa_{step}")
         staged = stepped.select(
-            "vid", "label", (F.col("label") != F.col("_prev")).alias("_chg")
+            "vid",
+            "label",
+            "_prev",
+            (F.col("label") != F.col("_prev")).alias("_chg"),
+            (~F.col("label").eqNullSafe(F.col("_p2"))).alias("_cyc"),
         ).observe(
             obs,
             F.sum(F.col("_chg").cast("long")).alias("metric"),
             F.sum(F.col("_chg").cast("long")).alias("n_active"),
+            F.sum(F.col("_cyc").cast("long")).alias("n_cycle_diff"),
+            F.count(F.lit(1)).alias("n_total"),
         )
         if ledger is not None:
             state = ledger.record(step, staged, observation=obs)
@@ -206,11 +243,19 @@ def label_propagation(
         else:
             state = cut_lineage(staged)
             n_changed = int(obs.get["metric"] or 0)
+        got = obs.get
+        n_verts = int(got["n_total"] or 0)
+        n_cycle_diff = int(got["n_cycle_diff"] or 0)
         if aff is not None:
             aff.unpersist()
         labels = state.select("vid", "label")
         changed = state.filter("_chg").select("vid", "label")
+        prev_state = state
         if n_changed == 0:
+            break
+        if cycle_armed and n_cycle_diff == 0:
+            # L_t == L_{t-2}: the dynamics entered their period-2
+            # terminal cycle — this phase is the result
             break
 
     e.unpersist()

@@ -9,11 +9,13 @@ def _labels(df):
     return {r["vid"]: r["label"] for r in df.collect()}
 
 
-def lpa_oracle(triples, iters, vids=None):
+def lpa_oracle(triples, iters, vids=None, stop_on_cycle=True):
     """Exact sequential twin of the operator's synchronous semantics:
     symmetrize (max-dedup), drop self-loops, vote on the PREVIOUS
     round's labels, argmax by (weight desc, label asc), isolated
-    vertices keep their label, stop on no change or after ``iters``."""
+    vertices keep their label, stop on fixpoint, on the period-2
+    terminal cycle (L_t == L_{t-2}, returning the current phase), or
+    after ``iters``."""
     und = {}
     for u, v, w in triples:
         if u == v:
@@ -26,6 +28,7 @@ def lpa_oracle(triples, iters, vids=None):
         adj.setdefault(v, []).append((u, w))
     vids = set(vids) if vids is not None else set(adj)
     labels = {v: v for v in vids}
+    prev2 = None
     for _ in range(iters):
         new = {}
         for v in vids:
@@ -36,7 +39,10 @@ def lpa_oracle(triples, iters, vids=None):
             new[v] = min(votes, key=lambda l: (-votes[l], l)) if votes else labels[v]
         if new == labels:
             break
-        labels = new
+        if stop_on_cycle and new == prev2:
+            labels = new
+            break
+        prev2, labels = labels, new
     return labels
 
 
@@ -50,8 +56,8 @@ def test_disjoint_cliques_converge_to_min_labels(spark):
 
 
 def test_single_edge_oscillates_and_terminates(spark):
-    # sync LPA 2-cycles on one edge: the iteration cap must bound the
-    # loop, and the result must equal exactly max_iterations sync rounds
+    # sync LPA 2-cycles on one edge: the loop must terminate (cycle
+    # detection at round 2) and match the oracle's identical rule
     e = make_edges(spark, [(0, 1, 1.0)])
     assert _labels(label_propagation(e, max_iterations=5)) == lpa_oracle(
         [(0, 1, 1.0)], 5
@@ -131,3 +137,28 @@ def test_delta_round_skips_settled_voters(spark):
         assert _labels(
             label_propagation(e, max_iterations=iters, broadcast_threshold=1 << 20)
         ) == lpa_oracle(triples, iters), iters
+
+
+def test_cycle_detection_stops_early_and_matches(spark):
+    # single edge: L2 == L0, so the loop must stop at round 2 with the
+    # current phase (the identity) no matter how large the budget —
+    # and stop_on_cycle=False must reproduce the raw fixed-round labels
+    e = make_edges(spark, [(0, 1, 1.0)])
+    assert _labels(label_propagation(e, max_iterations=50)) == {0: 0, 1: 1}
+    assert _labels(
+        label_propagation(e, max_iterations=5, stop_on_cycle=False)
+    ) == lpa_oracle([(0, 1, 1.0)], 5, stop_on_cycle=False) == {0: 1, 1: 0}
+
+
+def test_cycle_detection_on_er_graphs(spark):
+    # graphs that enter a 2-cycle mid-run: engine and oracle must agree
+    # with detection on AND off
+    for seed in (3, 11):
+        triples = seeded_er_edges(40, 0.08, seed=seed, weighted=True)
+        e = make_edges(spark, triples)
+        assert _labels(label_propagation(e, max_iterations=12)) == lpa_oracle(
+            triples, 12
+        ), seed
+        assert _labels(
+            label_propagation(e, max_iterations=4, stop_on_cycle=False)
+        ) == lpa_oracle(triples, 4, stop_on_cycle=False), seed
