@@ -153,7 +153,13 @@ def label_propagation(
     non-fixpoint terminal state of these dynamics — module docstring),
     returning the current phase.  The check is a vertex-sized join
     against the previous round's checkpointed state and a counter in
-    the same single-job Observation.
+    the same single-job Observation.  After a ``resume_from`` the
+    check re-arms one round late (the prior round's state is gone), so
+    on an OSCILLATING region a resumed run can stop one round later
+    than the uninterrupted run and return the cycle's other phase —
+    both are terminal; on a converging graph resume is exact (same
+    contract shape as the documented pagerank post-convergence resume
+    delta).
 
     Returns ``(vid: long, label: long)``.
     """

@@ -133,3 +133,26 @@ def test_will_checkpoint_gates_lazy_state(spark, tmp_path):
     # non-metrics-only callers still need a real DataFrame
     with pytest.raises(ValueError):
         mem.record(6, None)
+
+
+def test_lpa_resume_matches_uninterrupted(spark, tmp_path):
+    from graph_mining_spark.operators.label_propagation import label_propagation
+
+    # converging fixture (cliques + pendant chain): resume is exact
+    k5 = [(u, v, 1.0) for u in range(5) for v in range(u + 1, 5)]
+    k4 = [(u, v, 1.0) for u in range(10, 14) for v in range(u + 1, 14)]
+    chain = [(4, 20, 0.5), (20, 21, 0.5), (21, 22, 0.5)]
+    e = make_edges(spark, k5 + k4 + chain)
+
+    full = {r["vid"]: r["label"] for r in label_propagation(e, max_iterations=20).collect()}
+
+    led_dir = str(tmp_path / "lpa")
+    led = SuperstepLedger("lpa", directory=led_dir, every=1)
+    label_propagation(e, max_iterations=2, ledger=led)
+    resumed = SuperstepLedger.resume(spark, "lpa", led_dir)
+    assert resumed is not None and resumed[0] == 2
+    got = {
+        r["vid"]: r["label"]
+        for r in label_propagation(e, max_iterations=20, resume_from=resumed).collect()
+    }
+    assert got == full
