@@ -86,17 +86,18 @@ def lpa_superstep(
     recompute to these voters.  A vertex none of whose neighbors
     changed label last round would recompute the identical vote, so
     skipping it is EXACT — the caller passes the changed vertices'
-    neighborhood.  Applied as a broadcast semi-join AFTER the dst-side
-    label join (same stage, no re-partition of ``e``), so the m-row
-    table is scanned but only affected-voter rows enter the vote
-    shuffle.
+    neighborhood.  Applied as a broadcast semi-join on ``e`` BEFORE
+    the dst-side label join (a broadcast join adds no exchange, so the
+    label join still reuses e's dst partitioning in the same stage):
+    non-frontier edge rows drop ahead of the label-join probe AND the
+    vote shuffle, so a converged region costs scan-only.
     """
-    nbr = labels.withColumnRenamed("vid", "dst")
-    joined = e.join(nbr, "dst")
+    src_edges = e
     if affected is not None:
-        joined = joined.join(F.broadcast(affected), "src", "left_semi")
+        src_edges = e.join(F.broadcast(affected), "src", "left_semi")
+    nbr = labels.withColumnRenamed("vid", "dst")
     votes = (
-        joined
+        src_edges.join(nbr, "dst")
         .groupBy(F.col("src").alias("vid"), "label")
         .agg(F.sum("weight").alias("_w"))
     )
@@ -153,13 +154,12 @@ def label_propagation(
     non-fixpoint terminal state of these dynamics — module docstring),
     returning the current phase.  The check is a vertex-sized join
     against the previous round's checkpointed state and a counter in
-    the same single-job Observation.  After a ``resume_from`` the
-    check re-arms one round late (the prior round's state is gone), so
-    on an OSCILLATING region a resumed run can stop one round later
-    than the uninterrupted run and return the cycle's other phase —
-    both are terminal; on a converging graph resume is exact (same
-    contract shape as the documented pagerank post-convergence resume
-    delta).
+    the same single-job Observation.  A ``resume_from`` state written
+    by this operator carries ``_prev``/``_chg``, so the cycle check
+    and delta frontier re-arm immediately and resume is exact even on
+    oscillators; only a legacy (vid, label)-only state re-arms one
+    round late, where an oscillating region can return the 2-cycle's
+    other phase (both are terminal).
 
     Returns ``(vid: long, label: long)``.
     """
@@ -175,23 +175,40 @@ def label_propagation(
         F.col("vid").cast("long")
     ).distinct()
 
-    if resume_from is not None:
-        start, labels = resume_from
-        labels = labels.select("vid", "label")
-    else:
-        start = 0
-        labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
-
     from pyspark.sql import Observation
 
     # changed-label frontier from the previous round; None = unknown
-    # (first round, or a blind resume) → full recompute.  prev_state
-    # (vid, label, _prev) is the previous round's CHECKPOINTED state —
-    # its _prev column is L_{t-2}, which the cycle check joins against.
+    # (first round, or a resume from a legacy vid/label-only state) →
+    # full recompute.  prev_state (vid, label, _prev) is the previous
+    # round's CHECKPOINTED state — its _prev column is L_{t-2}, which
+    # the cycle check joins against.
     changed: DataFrame | None = None
     n_changed: int | None = None
     n_verts: int | None = None
     prev_state: DataFrame | None = None
+
+    if resume_from is not None:
+        start, rstate = resume_from
+        labels = rstate.select("vid", "label")
+        if "_prev" in rstate.columns:
+            # the ledger checkpoints the full staged frame, so the
+            # resumed state carries last round's _prev (= L_{start-1},
+            # re-arming the cycle check immediately: a resumed run then
+            # stops on the SAME round and phase as an uninterrupted
+            # one) and _chg (re-seeding the delta frontier after one
+            # cheap vertex-sized aggregate)
+            prev_state = rstate
+            if "_chg" in rstate.columns:
+                row = rstate.agg(
+                    F.sum(F.col("_chg").cast("long")).alias("c"),
+                    F.count(F.lit(1)).alias("n"),
+                ).first()
+                n_changed = int(row["c"] or 0)
+                n_verts = int(row["n"])
+                changed = rstate.filter("_chg").select("vid", "label")
+    else:
+        start = 0
+        labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
 
     step = start
     while step < max_iterations:

@@ -156,3 +156,28 @@ def test_lpa_resume_matches_uninterrupted(spark, tmp_path):
         for r in label_propagation(e, max_iterations=20, resume_from=resumed).collect()
     }
     assert got == full
+
+
+def test_lpa_resume_rearms_cycle_check_mid_oscillation(spark, tmp_path):
+    from graph_mining_spark.operators.label_propagation import label_propagation
+
+    # C4 reaches its period-2 terminal at round 3 (L3 == L1), AFTER the
+    # interruption point: the resumed state's _prev column must re-arm
+    # the cycle check immediately so the resumed run stops on the same
+    # round and phase as the uninterrupted one
+    c4 = [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (0, 3, 1.0)]
+    e = make_edges(spark, c4)
+    full = {r["vid"]: r["label"] for r in label_propagation(e, max_iterations=20).collect()}
+    assert full == {0: 1, 1: 0, 2: 1, 3: 0}  # phase L3
+
+    led_dir = str(tmp_path / "lpa_osc")
+    led = SuperstepLedger("lpa_osc", directory=led_dir, every=1)
+    label_propagation(e, max_iterations=2, ledger=led)
+    resumed = SuperstepLedger.resume(spark, "lpa_osc", led_dir)
+    assert resumed is not None and resumed[0] == 2
+    assert "_prev" in resumed[1].columns
+    got = {
+        r["vid"]: r["label"]
+        for r in label_propagation(e, max_iterations=20, resume_from=resumed).collect()
+    }
+    assert got == full

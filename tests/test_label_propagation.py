@@ -9,6 +9,14 @@ def _labels(df):
     return {r["vid"]: r["label"] for r in df.collect()}
 
 
+def int_weighted(triples):
+    """Integer-valued weights (1..11): vote sums stay EXACT, so the
+    (sum desc, label asc) argmax cannot flip on float-addition order
+    between Spark's partial aggregation and the sequential oracle —
+    the same rule the property suite follows."""
+    return [(u, v, float(1 + int(w))) for u, v, w in triples]
+
+
 def lpa_oracle(triples, iters, vids=None, stop_on_cycle=True):
     """Exact sequential twin of the operator's synchronous semantics:
     symmetrize (max-dedup), drop self-loops, vote on the PREVIOUS
@@ -78,7 +86,7 @@ def test_weighted_votes_beat_counts(spark):
 
 def test_er_graphs_match_sequential_oracle(spark):
     for seed in (3, 11):
-        triples = seeded_er_edges(40, 0.08, seed=seed, weighted=True)
+        triples = int_weighted(seeded_er_edges(40, 0.08, seed=seed, weighted=True))
         e = make_edges(spark, triples)
         for iters in (1, 2, 5):
             assert _labels(label_propagation(e, max_iterations=iters)) == lpa_oracle(
@@ -98,7 +106,7 @@ def test_isolated_vertices_and_self_loops(spark):
 
 
 def test_partition_invariance(spark):
-    triples = seeded_er_edges(30, 0.1, seed=5, weighted=True)
+    triples = int_weighted(seeded_er_edges(30, 0.1, seed=5, weighted=True))
     e1 = make_edges(spark, triples).repartition(1)
     e7 = make_edges(spark, triples).repartition(7)
     assert _labels(label_propagation(e1, max_iterations=3)) == _labels(
@@ -112,7 +120,7 @@ def test_delta_path_matches_full_recompute(spark):
     # (threshold 2: exercises the changed-hub fallback when the
     # frontier's neighborhood outgrows the broadcast bound)
     for seed in (3, 11):
-        triples = seeded_er_edges(40, 0.08, seed=seed, weighted=True)
+        triples = int_weighted(seeded_er_edges(40, 0.08, seed=seed, weighted=True))
         e = make_edges(spark, triples)
         for iters in (2, 6):
             want = _labels(label_propagation(e, max_iterations=iters, broadcast_threshold=0))
@@ -154,7 +162,7 @@ def test_cycle_detection_on_er_graphs(spark):
     # graphs that enter a 2-cycle mid-run: engine and oracle must agree
     # with detection on AND off
     for seed in (3, 11):
-        triples = seeded_er_edges(40, 0.08, seed=seed, weighted=True)
+        triples = int_weighted(seeded_er_edges(40, 0.08, seed=seed, weighted=True))
         e = make_edges(spark, triples)
         assert _labels(label_propagation(e, max_iterations=12)) == lpa_oracle(
             triples, 12
