@@ -52,6 +52,34 @@ IMPORT_REGEX = {
 }
 
 
+def read_source_table(spark: SparkSession, source: str) -> DataFrame:
+    """Load the source-file table from an Iceberg/catalog table
+    identifier or a file path, schema-checked.
+
+    ``source`` with no path separator (e.g. ``lake.code.files`` or a
+    registered view name) goes through ``spark.read.table`` — for an
+    Iceberg catalog that is the scan that takes partition pruning,
+    column pruning, and predicate pushdown from every downstream plan
+    (this module only ever selects the columns it needs, so hidden
+    partitioning on e.g. ``lang`` or ``repo`` buckets prunes for
+    free).  Anything containing ``/`` is read as a Parquet path (the
+    sandbox form; the DataFrame contract downstream is identical).
+
+    Raises ``ValueError`` if the required north-rule columns
+    ``(repo, path, commit, lang, content)`` are missing; extra columns
+    are allowed and ignored by downstream selects.
+    """
+    df = spark.read.table(source) if "/" not in source else spark.read.parquet(source)
+    required = [f.split()[0] for f in SOURCE_SCHEMA.split(", ")]
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"source table {source!r} is missing required columns {missing}; "
+            f"expected at least: {SOURCE_SCHEMA}"
+        )
+    return df
+
+
 def synthesize_source_files(
     spark: SparkSession,
     n_repos: int = 20,
