@@ -78,11 +78,16 @@ def pagerank(
         raise ValueError("approx_precision must be >= 0")
     spark = edges.sparkSession
 
-    e = edges.select("src", "dst").repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+    # persist the RAW edge selection once; the mode-specific repartition
+    # (by dst for broadcast mode, by src for shuffle mode) happens AFTER
+    # n is known, so only ONE all-edges shuffle is ever paid (the old
+    # code repartitioned by src, then threw that away and repartitioned
+    # by dst again whenever broadcast mode engaged)
+    e_raw = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     # vertex set from the persisted table, not the upstream plan
-    verts = vertex_ids(e) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
+    verts = vertex_ids(e_raw) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
 
-    out_deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+    out_deg = e_raw.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
     if source_vids:
         src_set = spark.createDataFrame([(int(s),) for s in source_vids], "vid long")
         p_col = F.when(F.col("_is_src"), F.lit(1.0 / len(source_vids))).otherwise(F.lit(0.0))
@@ -98,12 +103,53 @@ def pagerank(
 
     n = verts.count()
     if n == 0:
+        e_raw.unpersist()
         return spark.createDataFrame([], "vid long, rank double")
     if base is None:
         base = verts.join(out_deg, "vid", "left").select(
             "vid", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0 / n).alias("p")
         )
-    base = base.repartition("vid").persist(StorageLevel.MEMORY_AND_DISK)
+
+    use_bcast = n <= broadcast_threshold
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # In broadcast mode the ENTIRE run (cache builds + superstep loop)
+    # executes with AQE off: a table persisted under AQE embeds an
+    # AdaptiveSparkPlan whose output partitioning downstream joins
+    # cannot see, so every vertex-sized join would re-Exchange, and AQE
+    # additionally materializes each query stage as its own driver
+    # round-trip — pure overhead in a regime with no data-scale shuffle
+    # to coalesce and no skew to split (see session.no_adaptive).  The
+    # caches built here are mode-local and released before returning.
+    import contextlib
+
+    from graph_mining_spark.session import no_adaptive
+
+    with no_adaptive(spark) if use_bcast else contextlib.nullcontext():
+        return _pagerank_run(
+            spark, e_raw, base, n, use_bcast, shuffle_parts, resume_from,
+            source_vids, damping, approx_precision, max_iterations,
+            check_every, ledger,
+        )
+
+
+def _pagerank_run(
+    spark, e_raw, base, n, use_bcast, shuffle_parts, resume_from,
+    source_vids, damping, approx_precision, max_iterations, check_every,
+    ledger,
+) -> DataFrame:
+    if use_bcast:
+        # SIZE-derived vertex partitioning (guide §2.2: partitions in
+        # the 100 MB+ range, not one per core): a ≤131k-row vertex
+        # table is a handful of MB, so the per-superstep vertex-sized
+        # stages run as 1-2 tasks instead of `shuffle.partitions` tiny
+        # ones — measured, the 32-partition vertex state made every
+        # broadcast-build and checkpoint job a 32-task launch for <3 MB
+        # of data.  Above the threshold the session's shuffle
+        # partitioning (cluster-sized at submit time) applies unchanged.
+        vparts = max(1, -(-n // 2_000_000))
+        base = base.repartition(vparts, "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        base = base.repartition("vid").persist(StorageLevel.MEMORY_AND_DISK)
 
     if resume_from is not None:
         it, state = resume_from
@@ -113,27 +159,36 @@ def pagerank(
         init = 1.0 / n if not source_vids else None
         rank0 = F.lit(init) if init is not None else F.col("p")
         state = base.select("vid", rank0.alias("rank"), "deg", "p").persist(StorageLevel.MEMORY_AND_DISK)
-    # one action: initial dangling mass AND dangling-vertex count
+    # one action: initial dangling mass, dangling-vertex count AND edge
+    # count (m = Σ out-degree, sizing the edge repartition below)
     row0 = state.agg(
         F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dmass"),
         F.sum(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("dcount"),
+        F.sum("deg").alias("m"),
     ).first()
     dangling = float(row0["dmass"] or 0.0)
     n_dangling = int(row0["dcount"] or 0)
+    m_edges = int(row0["m"] or 0)
 
     eps = approx_precision * n
     cap = max_iterations if max_iterations is not None else 1_000_000
     batch = check_every if (check_every > 1 and n_dangling == 0) else 1
 
-    use_bcast = n <= broadcast_threshold
     if use_bcast:
-        # repartition the (already materialized) edge table by dst ONCE:
-        # the per-superstep broadcast join preserves it, so the
-        # contribution groupBy(dst) aggregates without an exchange
-        e2 = e.select("src", "dst").repartition("dst").persist(StorageLevel.MEMORY_AND_DISK)
-        e2.count()
-        e.unpersist()
-        e = e2
+        # repartition the edge table by dst ONCE: the per-superstep
+        # broadcast join preserves it, so the contribution groupBy(dst)
+        # aggregates without an exchange.  Partition count is derived
+        # from the edge COUNT (~4M int-pair rows ≈ 64 MB per task,
+        # guide §2.2), capped at the session's shuffle partitioning —
+        # NOT a per-core constant, so a cluster-sized session fans out.
+        eparts = min(shuffle_parts, max(1, -(-m_edges // 4_000_000)))
+        e = e_raw.repartition(eparts, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        e_raw.unpersist()
+    else:
+        e = e_raw.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
+        e.count()
+        e_raw.unpersist()
 
     def one_step(cur: DataFrame, dangling_mass: float) -> DataFrame:
         rank_src = cur.filter(F.col("deg") > 0).select(

@@ -8,9 +8,33 @@ settings move to submit-time conf.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
+
+
+@contextlib.contextmanager
+def no_adaptive(spark: SparkSession):
+    """Temporarily disable AQE for a superstep loop whose plan provably
+    contains no data-scale exchange (e.g. the broadcast-mode PageRank/CC
+    regime, where every table in play is vertex-sized and pre-partitioned).
+
+    AQE materializes every query stage as its own job with a driver
+    round-trip and re-planning in between; on an iterative loop of tiny
+    per-superstep queries that overhead dominates (measured ~40 ms × ~14
+    stage-jobs per batch at sf0.1).  There is nothing for AQE to adapt in
+    this regime — no shuffle to coalesce, no skew to split — so this is a
+    size-gated toggle, not a local-mode tuning: the same loop above the
+    broadcast threshold keeps AQE on for its real shuffles.
+    """
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 # Shuffle partitions sized to cores for local runs.  On a 1000-executor
 # cluster this would be ~2-3x total cores, set at submit time; AQE
