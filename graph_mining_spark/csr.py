@@ -249,14 +249,22 @@ def materialize_csr_shards(
                 yield pa.RecordBatch.from_arrays([pa.array(s), pa.array(d)], names=["s", "d"])
 
     base = edges.select("src", "dst")
+    # Cap the shard count by the edge count (~4M int-pair rows ≈ 64 MB
+    # per file, guide §2.2/§6): a small graph otherwise writes
+    # ``partitions`` near-empty files and every later gather pays their
+    # per-file open/list overhead.  A 100 TB edge set keeps the caller's
+    # full fan-out (the cap only ever lowers the count below the
+    # requested ``partitions`` when the data cannot fill them).
+    total_edges = int(e_out.sum())
+    write_parts = max(1, min(partitions, -(-total_edges // 4_000_000)))
     if salted:
         to_write = (
             base.mapInArrow(pack, schema="s int, d int, t int")
-            .repartition(partitions, "d", "t")
+            .repartition(write_parts, "d", "t")
             .select("s", "d")
         )
     else:
-        to_write = base.mapInArrow(pack, schema="s int, d int").repartition(partitions, "d")
+        to_write = base.mapInArrow(pack, schema="s int, d int").repartition(write_parts, "d")
     root = shard_root or os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/graph_mining_spark_ckpt")
     shard_dir = os.path.join(root, f"csr_{uuid.uuid4().hex[:12]}")
     to_write.write.mode("overwrite").parquet(shard_dir)
@@ -267,10 +275,12 @@ def materialize_csr_shards(
     # graph pays a handful of Python-task launches per superstep
     # instead of one per file, while a 100 TB edge set still fans out
     # to edges/1M tasks.
-    total_edges = int(deg.sum())
     gather_parts = max(1, min(len(files), -(-total_edges // _EDGES_PER_GATHER_TASK)))
-    shard_files = spark.createDataFrame([(p,) for p in files], "path string").repartition(
-        gather_parts
+    # exact partition count up front (sc.parallelize) — a
+    # createDataFrame + repartition pair costs two extra tiny jobs
+    shard_files = spark.createDataFrame(
+        spark.sparkContext.parallelize([(p,) for p in files], gather_parts),
+        "path string",
     )
     shard_files = shard_files.persist()
     shard_files.count()

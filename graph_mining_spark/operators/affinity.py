@@ -350,15 +350,62 @@ def affinity_cluster(
     cfg = config or AffinityConfig()
     user_scoped = vertices is not None or node_weights is not None
     sym = edges if already_symmetric else symmetrize(edges)
-    verts = vertex_ids(sym) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
+    # persist + materialize the working edge table BEFORE deriving the
+    # vertex set: vertex_ids(sym) on the raw plan would execute the
+    # whole symmetrize/derivation a second time (measured as the two
+    # leading ~2 s jobs of every affinity run at sf0.1)
+    cur_edges = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    m = cur_edges.count()
+    verts = vertex_ids(cur_edges) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
     labels = cut_lineage(verts.select("vid", F.col("vid").alias("label")))
     nw = (
         node_weights.select("vid", F.col("node_weight").cast("double"))
         if node_weights is not None
-        else verts.select("vid", F.lit(1.0).alias("node_weight"))
+        else labels.select("vid", F.lit(1.0).alias("node_weight"))
     )
 
-    cur_edges = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # Small-graph regime (same gate as connected_components): every
+    # vertex/cluster-sized table fits a broadcast, so the per-round
+    # joins (forest connectivity, flatten, contraction relabel) hint
+    # their small side explicitly and the run executes with AQE off —
+    # nothing data-scale shuffles, and a cache persisted under AQE
+    # hides its partitioning while each AQE stage costs a driver
+    # round-trip (session.no_adaptive).  Above the gate the plan is
+    # unchanged: shuffle joins with AQE coalescing + skew splitting.
+    if 2 * m <= _SMALL_GRAPH_VERTEX_THRESHOLD:
+        small = True
+    elif m <= 8_000_000:
+        small = labels.count() <= _SMALL_GRAPH_VERTEX_THRESHOLD
+    else:
+        small = False
+
+    import contextlib
+
+    from graph_mining_spark.session import no_adaptive
+
+    small_parts = max(1, -(-m // 4_000_000))
+    with no_adaptive(edges.sparkSession, small_parts) if small else contextlib.nullcontext():
+        return _affinity_rounds(
+            cfg, cur_edges, nw, labels, user_scoped, small, ledger, return_levels
+        )
+
+
+# vertex count at or below which a graph's vertex/cluster-sized tables
+# are broadcast explicitly and AQE is bypassed (≈3 MB of labels) — the
+# same envelope the other superstep operators use
+_SMALL_GRAPH_VERTEX_THRESHOLD = 131_072
+
+
+def _affinity_rounds(
+    cfg: AffinityConfig,
+    cur_edges: DataFrame,
+    nw: DataFrame,
+    labels: DataFrame,
+    user_scoped: bool,
+    small: bool,
+    ledger: SuperstepLedger | None,
+    return_levels: bool,
+) -> DataFrame | list[DataFrame]:
     cur_nw = nw
     finished: DataFrame | None = None  # (vid,) of finished current-level clusters
     levels: list[DataFrame] = []
@@ -392,6 +439,7 @@ def affinity_cluster(
             best.select("src", "dst"),
             cur_verts,
             targets_in_vertices=(i > 0 or not user_scoped),
+            small=small,
         )
         if cfg.size_constraint is not None:
             from graph_mining_spark.operators.size_constraint import enforce_max_cluster_size
@@ -399,7 +447,10 @@ def affinity_cluster(
             round_labels = cut_lineage(
                 enforce_max_cluster_size(best, round_labels, cfg.size_constraint, node_weights=cur_nw)
             )
-        labels = cut_lineage(flatten_clustering(labels, round_labels))
+        # cluster-sized side broadcast in the small regime (hints
+        # propagate through compress_graph/flatten's internal selects)
+        rl = F.broadcast(round_labels) if small else round_labels
+        labels = cut_lineage(flatten_clustering(labels, rl))
         if return_levels:
             levels.append(labels)
         if ledger is not None:
@@ -414,10 +465,11 @@ def affinity_cluster(
             stats = cluster_stats(cur_edges, round_labels, None)
             active = _active_filter(stats, cfg.active_cluster_conditions)
             round_labels = round_labels.join(active, "label", "left_semi")
+            rl = F.broadcast(round_labels) if small else round_labels
 
         new_edges, new_nw = compress_graph(
             cur_edges,
-            round_labels,
+            rl,
             cur_nw,
             agg=cfg.edge_aggregation,
             percentile=cfg.percentile_linkage_value,

@@ -70,83 +70,133 @@ def connected_components(
         # on the biggest table of the whole computation
         fwd = edges.select("src", "dst")
         sym = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = sym.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
 
-    # derive the vertex set from the PERSISTED table — vertex_ids(sym)
-    # would re-execute the whole symmetrize/derivation plan a second time
-    verts = vertex_ids(e) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
-
-    if resume_from is not None:
-        start, labels = resume_from
-        labels = labels.select("vid", "label")
-        # everything may still be active after a blind resume
-        changed = labels.select("vid", "label")
+    spark = edges.sparkSession
+    raw = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    m = raw.count()
+    # Small-graph regime (guide §1.2/§2.2): when every frontier fits the
+    # broadcast gate (n ≤ 2m bounds the vertex count by the edge count),
+    # the whole run needs NO data-scale exchange — the edge table is
+    # dst-partitioned once so the neighbor-min aggregation is
+    # exchange-free behind a broadcast frontier join, and the
+    # vertex-sized joins broadcast their small side.  AQE is disabled
+    # for the run in that regime: a cache persisted under AQE hides its
+    # partitioning (forcing re-exchanges) and every AQE query stage is
+    # an extra driver round-trip (see session.no_adaptive).  Above the
+    # gate the round-4/5 plan (src-partitioned edges, adaptive frontier
+    # broadcast, AQE skew handling) is unchanged.
+    verts_cut = None
+    if 2 * m <= broadcast_threshold:
+        small = True
+    elif m <= 8_000_000:
+        # one cheap cached-table pass gives n for the gate; the
+        # checkpointed vertex set is REUSED for the labels init below
+        verts_plan = (
+            vertex_ids(raw)
+            if vertices is None
+            else vertices.select(F.col("vid").cast("long")).distinct()
+        )
+        verts_cut = cut_lineage(verts_plan)
+        small = verts_cut.count() <= broadcast_threshold
     else:
-        start = 0
-        labels = verts.select("vid", F.col("vid").alias("label"))
-        labels = cut_lineage(labels)
-        changed = labels
-    n_changed = None  # unknown until the first Observation lands
+        small = False
+    import contextlib
 
-    from pyspark.sql import Observation
+    from graph_mining_spark.session import no_adaptive
 
-    step = start
-    while step < max_supersteps:
-        step += 1
-        # (1) delta neighbor-min: propagate only from last round's frontier
-        if step == start + 1 and resume_from is None and vertices is None:
-            # round 1: labels are the identity, so the edges⋈labels join
-            # collapses to a bare groupBy-min over the edge table.  Only
-            # valid when the vertex set derives from the edges: with a
-            # caller-supplied subset, a bare min(src) could propagate an
-            # out-of-set endpoint id as a label.
-            nbr_min = e.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("nbr_label"))
+    with no_adaptive(spark, max(1, -(-m // 4_000_000))) if small else contextlib.nullcontext():
+        if small:
+            eparts = max(1, -(-m // 4_000_000))
+            # materialized lazily by superstep 1 (reads the cached raw)
+            e = raw.repartition(eparts, "dst").persist(StorageLevel.MEMORY_AND_DISK)
         else:
-            frontier = changed.withColumnRenamed("vid", "src")
-            if n_changed is not None and n_changed <= broadcast_threshold:
-                frontier = F.broadcast(frontier)
-            nbr_min = (
-                e.join(frontier, "src")
-                .groupBy(F.col("dst").alias("vid"))
-                .agg(F.min("label").alias("nbr_label"))
-            )
-        stepped = (
-            labels.join(nbr_min, "vid", "left")
-            .select("vid", F.least("label", F.coalesce("nbr_label", "label")).alias("label"), F.col("label").alias("_prev"))
-        )
-        # (2) pointer jumping: label ← label[label]
-        parent = stepped.select(F.col("vid").alias("_p_vid"), F.col("label").alias("_p_label"))
-        jumped = (
-            stepped.join(parent, stepped.label == parent._p_vid, "left")
-            .select(
-                "vid",
-                F.coalesce("_p_label", "label").alias("label"),
-                "_prev",
-            )
-        )
-        # convergence metric rides the checkpoint materialization
-        # (Observation), so each superstep is ONE Spark job
-        obs = Observation(f"cc_{step}")
-        staged = jumped.select(
-            "vid", "label", (F.col("label") != F.col("_prev")).alias("_chg")
-        ).observe(
-            obs,
-            F.sum(F.col("_chg").cast("long")).alias("metric"),
-            F.sum(F.col("_chg").cast("long")).alias("n_active"),
-        )
-        if ledger is not None:
-            state = ledger.record(step, staged, observation=obs)
-            n_changed = int(ledger.records[-1]["metric"])
-        else:
-            state = cut_lineage(staged)
-            n_changed = int(obs.get["metric"] or 0)
-        changed = state.filter("_chg").select("vid", "label")
-        labels = state.select("vid", "label")
-        if n_changed == 0:
-            break
+            e = raw.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
 
-    e.unpersist()
-    return labels
+        # derive the vertex set from the PERSISTED table — vertex_ids(sym)
+        # would re-execute the whole symmetrize/derivation plan twice
+        if verts_cut is not None:
+            verts = verts_cut
+        else:
+            verts = vertex_ids(e) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
+
+        if resume_from is not None:
+            start, labels = resume_from
+            labels = labels.select("vid", "label")
+            # everything may still be active after a blind resume
+            changed = labels.select("vid", "label")
+        else:
+            start = 0
+            labels = verts.select("vid", F.col("vid").alias("label"))
+            if small:
+                labels = labels.repartition(max(1, -(-2 * m // 2_000_000)), "vid")
+            labels = cut_lineage(labels)
+            changed = labels
+        n_changed = None  # unknown until the first Observation lands
+
+        from pyspark.sql import Observation
+
+        step = start
+        while step < max_supersteps:
+            step += 1
+            # (1) delta neighbor-min: propagate only from last round's frontier
+            if step == start + 1 and resume_from is None and vertices is None:
+                # round 1: labels are the identity, so the edges⋈labels join
+                # collapses to a bare groupBy-min over the edge table.  Only
+                # valid when the vertex set derives from the edges: with a
+                # caller-supplied subset, a bare min(src) could propagate an
+                # out-of-set endpoint id as a label.
+                nbr_min = e.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("nbr_label"))
+            else:
+                frontier = changed.withColumnRenamed("vid", "src")
+                if small or (n_changed is not None and n_changed <= broadcast_threshold):
+                    frontier = F.broadcast(frontier)
+                nbr_min = (
+                    e.join(frontier, "src")
+                    .groupBy(F.col("dst").alias("vid"))
+                    .agg(F.min("label").alias("nbr_label"))
+                )
+            if small:
+                nbr_min = F.broadcast(nbr_min)
+            stepped = (
+                labels.join(nbr_min, "vid", "left")
+                .select("vid", F.least("label", F.coalesce("nbr_label", "label")).alias("label"), F.col("label").alias("_prev"))
+            )
+            # (2) pointer jumping: label ← label[label]
+            parent = stepped.select(F.col("vid").alias("_p_vid"), F.col("label").alias("_p_label"))
+            if small:
+                parent = F.broadcast(parent)
+            jumped = (
+                stepped.join(parent, stepped.label == parent._p_vid, "left")
+                .select(
+                    "vid",
+                    F.coalesce("_p_label", "label").alias("label"),
+                    "_prev",
+                )
+            )
+            # convergence metric rides the checkpoint materialization
+            # (Observation), so each superstep is ONE Spark job
+            obs = Observation(f"cc_{step}")
+            staged = jumped.select(
+                "vid", "label", (F.col("label") != F.col("_prev")).alias("_chg")
+            ).observe(
+                obs,
+                F.sum(F.col("_chg").cast("long")).alias("metric"),
+                F.sum(F.col("_chg").cast("long")).alias("n_active"),
+            )
+            if ledger is not None:
+                state = ledger.record(step, staged, observation=obs)
+                n_changed = int(ledger.records[-1]["metric"])
+            else:
+                state = cut_lineage(staged)
+                n_changed = int(obs.get["metric"] or 0)
+            changed = state.filter("_chg").select("vid", "label")
+            labels = state.select("vid", "label")
+            if n_changed == 0:
+                break
+
+        e.unpersist()
+        raw.unpersist()  # no-op when the small path already released it
+        return labels
 
 
 def forest_components(
@@ -154,6 +204,7 @@ def forest_components(
     vertices: DataFrame,
     max_doublings: int = 64,
     targets_in_vertices: bool = False,
+    small: bool = False,
 ) -> DataFrame:
     """Components of a BEST-NEIGHBOR pointer forest — the affinity
     round's inner connectivity (parallel_affinity_internal.cc's forest
@@ -183,9 +234,16 @@ def forest_components(
     """
     from pyspark.sql import Observation
 
+    def _b(df):
+        # ``small`` (affinity passes its small-graph-regime flag): the
+        # vertex/cluster-sized build sides of every join here fit a
+        # broadcast, which keeps each doubling round a single narrow
+        # job instead of a two-sided shuffle
+        return F.broadcast(df) if small else df
+
     p0 = best.select(F.col("src").alias("vid"), F.col("dst").alias("p"))
     verts = vertices.select(F.col("vid").cast("long"))
-    p = verts.join(p0, "vid", "left").select(
+    p = verts.join(_b(p0), "vid", "left").select(
         "vid", F.coalesce("p", F.col("vid")).alias("p")
     )
     # clamp pointers whose target is OUTSIDE the vertex table to self —
@@ -202,7 +260,7 @@ def forest_components(
             "vid", F.when(F.col("_k").isNotNull(), F.col("p")).otherwise(F.col("vid")).alias("p")
         )
     pp = p.select(F.col("vid").alias("p"), F.col("p").alias("_pp"))
-    p = p.join(pp, "p", "left").select(
+    p = p.join(_b(pp), "p", "left").select(
         "vid",
         F.when(F.col("_pp") == F.col("vid"), F.least("vid", "p"))
         .otherwise(F.col("p"))
@@ -214,7 +272,7 @@ def forest_components(
         pp = cur.select(F.col("vid").alias("p"), F.col("p").alias("_pp"))
         obs = Observation(f"forest_{it}")
         nxt = (
-            cur.join(pp, "p")
+            cur.join(_b(pp), "p")
             .select("vid", F.col("_pp").alias("p"), (F.col("_pp") != F.col("p")).alias("_chg"))
             .observe(obs, F.sum(F.col("_chg").cast("long")).alias("metric"))
         )
@@ -227,7 +285,7 @@ def forest_components(
             best.select("src", "dst"), vertices=verts, already_symmetric=False
         )
     mins = cur.groupBy("p").agg(F.min("vid").alias("label"))
-    return cur.join(mins, "p").select("vid", "label")
+    return cur.join(_b(mins), "p").select("vid", "label")
 
 
 def connected_components_csr(
@@ -267,37 +325,41 @@ def connected_components_csr(
     n = shards.n
     if n == 0:
         return spark.createDataFrame([], "vid long, label long")
-    labels = np.arange(n, dtype=np.int64)
-    for it in range(1, max_supersteps + 1):
-        new = gather_min(shards, labels)
-        new = np.minimum(new, labels)
-        # pointer jumping to a fixpoint is cheap on the driver
-        while True:
-            jumped = new[new]
-            if np.array_equal(jumped, new):
-                break
-            new = jumped
-        n_changed = int(np.count_nonzero(new != labels))
-        if ledger is not None:
-            # metrics-only unless this superstep durably checkpoints
-            # (mirrors pagerank_csr — the CSR loop's true gather count
-            # can differ from the DF variant's, so callers measuring
-            # per-superstep throughput need the real number)
-            import pandas as pd
+    from graph_mining_spark.session import no_adaptive
 
-            state = None
-            if ledger.will_checkpoint(it):
-                state = spark.createDataFrame(
-                    pd.DataFrame({"vid": shards.vids, "label": shards.vids[new]}),
-                    schema="vid long, label long",
+    labels = np.arange(n, dtype=np.int64)
+    # AQE adds a per-gather query-stage round-trip with nothing to adapt
+    with no_adaptive(spark):
+        for it in range(1, max_supersteps + 1):
+            new = gather_min(shards, labels)
+            new = np.minimum(new, labels)
+            # pointer jumping to a fixpoint is cheap on the driver
+            while True:
+                jumped = new[new]
+                if np.array_equal(jumped, new):
+                    break
+                new = jumped
+            n_changed = int(np.count_nonzero(new != labels))
+            if ledger is not None:
+                # metrics-only unless this superstep durably checkpoints
+                # (mirrors pagerank_csr — the CSR loop's true gather count
+                # can differ from the DF variant's, so callers measuring
+                # per-superstep throughput need the real number)
+                import pandas as pd
+
+                state = None
+                if ledger.will_checkpoint(it):
+                    state = spark.createDataFrame(
+                        pd.DataFrame({"vid": shards.vids, "label": shards.vids[new]}),
+                        schema="vid long, label long",
+                    )
+                ledger.record(
+                    it, state, metric=float(n_changed), n_active=n_changed,
+                    metrics_only=state is None,
                 )
-            ledger.record(
-                it, state, metric=float(n_changed), n_active=n_changed,
-                metrics_only=state is None,
-            )
-        if n_changed == 0:
-            break
-        labels = new
+            if n_changed == 0:
+                break
+            labels = new
     import pandas as pd
 
     out = spark.createDataFrame(

@@ -124,7 +124,9 @@ def pagerank(
 
     from graph_mining_spark.session import no_adaptive
 
-    with no_adaptive(spark) if use_bcast else contextlib.nullcontext():
+    # residual exchanges (init distinct / vertex joins) sized from the
+    # vertex count rather than the static session default
+    with no_adaptive(spark, max(1, -(-n // 2_000_000))) if use_bcast else contextlib.nullcontext():
         return _pagerank_run(
             spark, e_raw, base, n, use_bcast, shuffle_parts, resume_from,
             source_vids, damping, approx_precision, max_iterations,
@@ -307,23 +309,28 @@ def pagerank_csr(
     dangling_mask = deg == 0
     safe_deg = np.where(dangling_mask, 1, deg)
 
+    from graph_mining_spark.session import no_adaptive
+
     it = 0
-    while it < cap:
-        it += 1
-        contrib = gather_sum(shards, np.where(dangling_mask, 0.0, r / safe_deg))
-        dangling = float(r[dangling_mask].sum())
-        new = (1.0 - damping) * p + damping * (contrib + dangling * p)
-        l1 = float(np.abs(new - r).sum())
-        r = new
-        if ledger is not None:
-            # build the vertex-sized state DataFrame ONLY when this
-            # superstep durably checkpoints — a metrics-only record
-            # never touches it, and converting a multi-million-row
-            # vector to Arrow every iteration is measurable waste
-            state = _vec_df(spark, shards.vids, r) if ledger.will_checkpoint(it) else None
-            ledger.record(it, state, metric=l1, n_active=n, metrics_only=True)
-        if l1 < eps:
-            break
+    # AQE adds a per-gather query-stage round-trip with nothing to
+    # adapt (the gather plan is a single map over cached descriptors)
+    with no_adaptive(spark):
+        while it < cap:
+            it += 1
+            contrib = gather_sum(shards, np.where(dangling_mask, 0.0, r / safe_deg))
+            dangling = float(r[dangling_mask].sum())
+            new = (1.0 - damping) * p + damping * (contrib + dangling * p)
+            l1 = float(np.abs(new - r).sum())
+            r = new
+            if ledger is not None:
+                # build the vertex-sized state DataFrame ONLY when this
+                # superstep durably checkpoints — a metrics-only record
+                # never touches it, and converting a multi-million-row
+                # vector to Arrow every iteration is measurable waste
+                state = _vec_df(spark, shards.vids, r) if ledger.will_checkpoint(it) else None
+                ledger.record(it, state, metric=l1, n_active=n, metrics_only=True)
+            if l1 < eps:
+                break
 
     out = _vec_df(spark, shards.vids, r)
     if own_shards:

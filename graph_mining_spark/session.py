@@ -15,7 +15,7 @@ from pyspark.sql import SparkSession
 
 
 @contextlib.contextmanager
-def no_adaptive(spark: SparkSession):
+def no_adaptive(spark: SparkSession, shuffle_partitions: int | None = None):
     """Temporarily disable AQE for a superstep loop whose plan provably
     contains no data-scale exchange (e.g. the broadcast-mode PageRank/CC
     regime, where every table in play is vertex-sized and pre-partitioned).
@@ -27,14 +27,26 @@ def no_adaptive(spark: SparkSession):
     this regime — no shuffle to coalesce, no skew to split — so this is a
     size-gated toggle, not a local-mode tuning: the same loop above the
     broadcast threshold keeps AQE on for its real shuffles.
+
+    ``shuffle_partitions``: with AQE off, any residual exchange defaults
+    to the session's static ``spark.sql.shuffle.partitions``; callers
+    that know the regime's data size pass a count DERIVED FROM IT
+    (rows/bytes per the guide's §2.2 partition sizing, e.g. ~4M edge
+    rows per partition), which AQE's coalescing would otherwise have
+    provided.  Both settings are restored on exit.
     """
     key = "spark.sql.adaptive.enabled"
+    skey = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
+    olds = spark.conf.get(skey)
     spark.conf.set(key, "false")
+    if shuffle_partitions is not None:
+        spark.conf.set(skey, str(max(1, int(shuffle_partitions))))
     try:
         yield
     finally:
         spark.conf.set(key, old)
+        spark.conf.set(skey, olds)
 
 # Shuffle partitions sized to cores for local runs.  On a 1000-executor
 # cluster this would be ~2-3x total cores, set at submit time; AQE
