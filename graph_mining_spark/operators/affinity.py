@@ -240,12 +240,20 @@ def compress_graph(
 def compress_cluster_ids(labels: DataFrame) -> DataFrame:
     """Remap arbitrary labels to consecutive [0, k) by rank of sorted
     distinct labels (CompressClusterIds,
-    parallel_affinity_internal.cc:65-80).  k is the number of clusters
-    — small after contraction — so the dense-rank window over DISTINCT
-    labels is not a scale hazard (it never touches the vertex table)."""
+    parallel_affinity_internal.cc:65-80).
+
+    The rank over the distinct labels uses the two-phase
+    range-partitioned scheme (minla._two_phase_rank) instead of a
+    global ``row_number`` window: k is usually small after contraction,
+    but on a FIRST-round clustering k can be ~n/2, and the old
+    unpartitioned window funneled that whole table through one task."""
+    from graph_mining_spark.operators.minla import _two_phase_rank
+
+    spark = labels.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     distinct = labels.select("label").distinct()
-    ranked = distinct.withColumn(
-        "_new", F.row_number().over(Window.orderBy("label")) - 1
+    ranked = _two_phase_rank(distinct, [F.col("label")], partitions=parts).select(
+        "label", F.col("_rank").alias("_new")
     )
     return labels.join(ranked, "label").select("vid", F.col("_new").cast("long").alias("label"))
 
@@ -283,12 +291,15 @@ def cluster_stats(edges: DataFrame, labels: DataFrame, node_weights: DataFrame |
     )
     sizes = labels.groupBy("label").agg(F.count("*").alias("n_nodes"))
     pairs = (F.col("n_nodes") * (F.col("n_nodes") - 1)) / 2.0
-    # total volume = Σ per-cluster volume, via an unbounded window over
-    # the (tiny) per-cluster aggregate — the expensive edges⋈labels join
-    # executes ONCE and the whole statistic stays lazy (no driver action)
-    total_vol = F.coalesce(
-        F.sum("volume").over(Window.partitionBy(F.lit(1))), F.lit(0.0)
-    )
+    # total volume = Σ per-cluster volume via a BROADCAST 1-row
+    # aggregate instead of an unbounded window: on the first affinity
+    # round the per-cluster table is ~n/2 rows, so the old unbounded
+    # literal-partitioned window funneled a vertex-scale table through
+    # ONE task.  The aggregate branch shares `per`'s shuffle exchange
+    # with the main branch (ReuseExchange), so the expensive
+    # edges⋈labels join still executes once and the statistic stays
+    # lazy (no driver action).
+    total = per.agg(F.coalesce(F.sum("volume"), F.lit(0.0)).alias("_tv"))
     return (
         sizes.join(per, "label", "left")
         .select(
@@ -298,7 +309,7 @@ def cluster_stats(edges: DataFrame, labels: DataFrame, node_weights: DataFrame |
             F.coalesce("inter_weight", F.lit(0.0)).alias("inter_weight"),
             F.coalesce("volume", F.lit(0.0)).alias("volume"),
         )
-        .withColumn("_tv", total_vol)
+        .crossJoin(F.broadcast(total))
         .withColumn("density", F.when(pairs > 0, F.col("intra_weight") / pairs).otherwise(F.lit(0.0)))
         .withColumn(
             "conductance",

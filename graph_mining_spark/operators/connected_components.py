@@ -72,7 +72,12 @@ def connected_components(
         sym = fwd.unionByName(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
     spark = edges.sparkSession
-    raw = sym.persist(StorageLevel.MEMORY_AND_DISK)
+    # skip the redundant cache copy when the caller already persisted
+    # the edge table (the union/select scans then read that cache)
+    if edges.storageLevel.useMemory or edges.storageLevel.useDisk:
+        raw = sym
+    else:
+        raw = sym.persist(StorageLevel.MEMORY_AND_DISK)
     m = raw.count()
     # Small-graph regime (guide §1.2/§2.2): when every frontier fits the
     # broadcast gate (n ≤ 2m bounds the vertex count by the edge count),

@@ -82,8 +82,14 @@ def pagerank(
     # (by dst for broadcast mode, by src for shuffle mode) happens AFTER
     # n is known, so only ONE all-edges shuffle is ever paid (the old
     # code repartitioned by src, then threw that away and repartitioned
-    # by dst again whenever broadcast mode engaged)
-    e_raw = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    # by dst again whenever broadcast mode engaged).  When the CALLER
+    # already persisted the edge table, scans below hit that cache
+    # directly — a second persist would copy every edge row into a
+    # redundant cache entry (the bench pays this three times per
+    # invocation)
+    _sel = edges.select("src", "dst")
+    _caller_cached = edges.storageLevel.useMemory or edges.storageLevel.useDisk
+    e_raw = _sel if _caller_cached else _sel.persist(StorageLevel.MEMORY_AND_DISK)
     # vertex set from the persisted table, not the upstream plan
     verts = vertex_ids(e_raw) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
 

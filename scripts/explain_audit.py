@@ -198,12 +198,37 @@ def main() -> None:
         plan(_two_phase_rank(mlog, [F.col("sim").desc(), F.col("src").asc()], 8, cut=False)),
     ))
 
-    # source-level regression guard: no operator may rank through a
-    # global single-partition window except the documented cluster-stats
-    # scalar total (affinity.py, lazy total over the per-cluster agg).
-    # Scan the PACKAGE AS IMPORTED (not a CWD-relative glob, which finds
-    # zero files off-root and passes vacuously) and match the pattern
-    # loosely (any partitionBy whose argument is a literal).
+    from graph_mining_spark.operators.affinity import cluster_stats, compress_cluster_ids
+
+    mod7 = labels.select("vid", (F.col("vid") % 7).alias("label"))
+    sections.append((
+        "cluster_stats (early-emission statistics)",
+        "round-5 verdict finding #1 fixed: the total-volume scalar is a "
+        "BROADCAST 1-row aggregate cross-joined onto the per-cluster "
+        "table instead of an unbounded window — the only SinglePartition "
+        "exchange left is the scalar total's final-aggregate exchange, "
+        "which moves one partial row per partition, never the (first-"
+        "round ~n/2-row) per-cluster table; the edges-joined-labels "
+        "aggregate appears once (ReusedExchange feeds the total).",
+        plan(cluster_stats(sym, mod7)),
+    ))
+
+    sections.append((
+        "compress_cluster_ids (dense [0,k) remap)",
+        "round-5 verdict finding #2 fixed: the distinct-label ranking "
+        "routes through _two_phase_rank (Exchange rangepartitioning + "
+        "per-partition row_number + broadcast offset join) — no global "
+        "row_number window, no SinglePartition exchange for a first-"
+        "round cluster-scale label set.",
+        plan(compress_cluster_ids(mod7)),
+    ))
+
+    # source-level regression guard: no operator may rank or total
+    # through a global single-partition window — the former cluster-stats
+    # exemption is gone (round-5 finding #1 fixed).  Scan the PACKAGE AS
+    # IMPORTED (not a CWD-relative glob, which finds zero files off-root
+    # and passes vacuously) and match the pattern loosely (any
+    # partitionBy whose argument is a literal).
     import pathlib
     import re
 
@@ -216,7 +241,7 @@ def main() -> None:
     for p in pkg_root.rglob("*.py"):
         scanned += 1
         for i, line in enumerate(p.read_text().splitlines(), 1):
-            if pat.search(line) and p.name != "affinity.py":
+            if pat.search(line):
                 offenders.append(f"{p}:{i}")
     assert scanned > 10, f"guard scanned only {scanned} files — package path wrong"
     if offenders:
