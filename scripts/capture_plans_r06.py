@@ -56,55 +56,68 @@ def main() -> None:
 
     plans["minhash_documents"] = lambda: minhash_signatures(docs)
 
-    def _pagerank_superstep():
-        # the broadcast-mode superstep exactly as pagerank() builds it
-        from graph_mining_spark.operators.pagerank import pagerank  # noqa: F401
+    from graph_mining_spark.session import no_adaptive
 
-        e = sym.select("src", "dst")
-        verts = e.select(F.col("src").alias("vid")).unionByName(
-            e.select(F.col("dst").alias("vid"))
-        ).distinct()
-        out_deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
-        base = verts.join(out_deg, "vid", "left").select(
-            "vid", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0).alias("p")
-        )
-        state = base.select("vid", F.lit(1.0).alias("rank"), "deg", "p")
-        rank_src = state.filter(F.col("deg") > 0).select(
-            F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("_c")
-        )
-        contribs = (
-            e.join(F.broadcast(rank_src), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.sum("_c").alias("_contrib"))
-        )
-        return base.join(F.broadcast(contribs), "vid", "left").select(
-            "vid",
-            (F.lit(0.15) * F.col("p") + F.lit(0.85) * F.coalesce("_contrib", F.lit(0.0))).alias("rank"),
-            "deg",
-            "p",
-        )
+    def _pagerank_superstep():
+        # the broadcast-mode superstep exactly as pagerank() now builds
+        # it: caches persisted UNDER no_adaptive at size-derived
+        # partition counts (1 at this scale), rank vector the only
+        # per-superstep broadcast
+        with no_adaptive(spark, 1):
+            e = sym.select("src", "dst").repartition(1, "dst").persist()
+            e.count()
+            verts = e.select(F.col("src").alias("vid")).unionByName(
+                e.select(F.col("dst").alias("vid"))
+            ).distinct()
+            out_deg = e.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
+            base = verts.join(out_deg, "vid", "left").select(
+                "vid", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0).alias("p")
+            ).repartition(1, "vid").persist()
+            state = base.select("vid", F.lit(1.0).alias("rank"), "deg", "p").persist()
+            state.count()
+            rank_src = state.filter(F.col("deg") > 0).select(
+                F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("_c")
+            )
+            contribs = (
+                e.join(F.broadcast(rank_src), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum("_c").alias("_contrib"))
+            )
+            return fmt(base.join(F.broadcast(contribs), "vid", "left").select(
+                "vid",
+                (F.lit(0.15) * F.col("p") + F.lit(0.85) * F.coalesce("_contrib", F.lit(0.0))).alias("rank"),
+                "deg",
+                "p",
+            ))
 
     plans["pagerank_superstep"] = _pagerank_superstep
 
     def _cc_superstep():
-        e = sym.select("src", "dst")
-        labels = e.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("label"))
-        changed = labels
-        frontier = changed.withColumnRenamed("vid", "src")
-        nbr_min = (
-            e.join(F.broadcast(frontier), "src")
-            .groupBy(F.col("dst").alias("vid"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = labels.join(nbr_min, "vid", "left").select(
-            "vid",
-            F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
-            F.col("label").alias("_prev"),
-        )
-        parent = stepped.select(F.col("vid").alias("_p_vid"), F.col("label").alias("_p_label"))
-        return stepped.join(parent, stepped.label == parent._p_vid, "left").select(
-            "vid", F.coalesce("_p_label", "label").alias("label"), "_prev"
-        )
+        # the small-regime cc superstep exactly as connected_components()
+        # now builds it: dst-partitioned cached edges, broadcast
+        # frontier, broadcast nbr_min/parent joins, AQE off
+        with no_adaptive(spark, 1):
+            e = sym.select("src", "dst").repartition(1, "dst").persist()
+            e.count()
+            labels = e.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("label"))
+            changed = labels
+            frontier = changed.withColumnRenamed("vid", "src")
+            nbr_min = F.broadcast(
+                e.join(F.broadcast(frontier), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            stepped = labels.join(nbr_min, "vid", "left").select(
+                "vid",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+                F.col("label").alias("_prev"),
+            )
+            parent = F.broadcast(
+                stepped.select(F.col("vid").alias("_p_vid"), F.col("label").alias("_p_label"))
+            )
+            return fmt(stepped.join(parent, stepped.label == parent._p_vid, "left").select(
+                "vid", F.coalesce("_p_label", "label").alias("label"), "_prev"
+            ))
 
     plans["cc_superstep"] = _cc_superstep
 
@@ -142,7 +155,9 @@ def main() -> None:
         if only and name not in only:
             continue
         try:
-            txt = fmt(fn())
+            txt = fn()
+            if not isinstance(txt, str):
+                txt = fmt(txt)
         except Exception as e:  # noqa: BLE001
             txt = f"ERROR: {e}"
         path = os.path.join(OUT, f"{name}_{tag}.txt")

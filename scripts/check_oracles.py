@@ -52,18 +52,22 @@ def main() -> int:
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     n_fail = 0
+    import time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        spark_wall = time.monotonic() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle)")
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{spark_wall:.2f}s]")
             continue
         try:
             ddf = con.sql(sql).df()
@@ -100,7 +104,7 @@ def main() -> int:
             print(f"FAIL  {name}: column {bad} mismatches ({len(mism)} rows), e.g.\n{mism.head(3)}")
             n_fail += 1
         else:
-            print(f"OK    {name}: {len(a)} rows")
+            print(f"OK    {name}: {len(a)} rows [{spark_wall:.2f}s]")
     print(f"\n{n_fail} failures")
     return 1 if n_fail else 0
 
