@@ -66,16 +66,41 @@ def read_source_table(spark: SparkSession, source: str) -> DataFrame:
     sandbox form; the DataFrame contract downstream is identical).
 
     Raises ``ValueError`` if the required north-rule columns
-    ``(repo, path, commit, lang, content)`` are missing; extra columns
-    are allowed and ignored by downstream selects.
+    ``(repo, path, commit, lang, content)`` are missing or carry the
+    wrong type (e.g. binary ``content`` or int ``lang`` fail HERE with
+    a clear message, not later in a confusing downstream expression);
+    extra columns are allowed and ignored by downstream selects.
     """
-    df = spark.read.table(source) if "/" not in source else spark.read.parquet(source)
-    required = [f.split()[0] for f in SOURCE_SCHEMA.split(", ")]
-    missing = [c for c in required if c not in df.columns]
+    import os
+
+    # a bare relative filename like "files.parquet" has no "/" but is
+    # NOT a catalog identifier — route it (and any existing filesystem
+    # path) to the Parquet reader before falling back to read.table
+    is_path = (
+        "/" in source
+        or source.endswith(".parquet")
+        or os.path.exists(source)
+    )
+    df = spark.read.parquet(source) if is_path else spark.read.table(source)
+    expected = {
+        f.split()[0]: f.split()[1] for f in SOURCE_SCHEMA.split(", ")
+    }
+    missing = [c for c in expected if c not in df.columns]
     if missing:
         raise ValueError(
             f"source table {source!r} is missing required columns {missing}; "
             f"expected at least: {SOURCE_SCHEMA}"
+        )
+    actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    wrong = [
+        f"{c}: {actual[c]} (expected {t})"
+        for c, t in expected.items()
+        if actual.get(c) != t
+    ]
+    if wrong:
+        raise ValueError(
+            f"source table {source!r} has wrong column type(s): {wrong}; "
+            f"expected: {SOURCE_SCHEMA}"
         )
     return df
 

@@ -16,7 +16,11 @@ exactly the async-vs-sync trade documented for correlation clustering
 SYNCHRONOUS rounds (every vertex votes on the PREVIOUS round's labels)
 with a total tie order, (vote weight DESC, label ASC).  Output is then
 a pure function of the graph, independent of partitioning and
-scheduling.
+scheduling, EXACTLY when the per-(vertex, label) vote sums are exact —
+integer or exactly-representable weights (the tested regime).  With
+general float weights Spark's partial-aggregation sum order can differ
+across partitionings, and a near-tie argmax may flip on the low bits
+of the two sums.
 
 Semantics per superstep t (labels L_t, symmetric weighted edges w):
 
@@ -156,10 +160,14 @@ def label_propagation(
     against the previous round's checkpointed state and a counter in
     the same single-job Observation.  A ``resume_from`` state written
     by this operator carries ``_prev``/``_chg``, so the cycle check
-    and delta frontier re-arm immediately and resume is exact even on
-    oscillators; only a legacy (vid, label)-only state re-arms one
-    round late, where an oscillating region can return the 2-cycle's
-    other phase (both are terminal).
+    and delta frontier re-arm immediately and a run INTERRUPTED before
+    its terminal round resumes exactly, oscillators included.  Two
+    narrow caveats: resuming from a checkpoint of a run that already
+    STOPPED on the period-2 cycle executes one more round and returns
+    the cycle's other phase (both terminal, but not byte-identical to
+    the completed run's output), and a legacy (vid, label)-only state
+    re-arms the cycle check one round late with the same
+    other-phase-possible outcome.
 
     Returns ``(vid: long, label: long)``.
     """
