@@ -126,6 +126,7 @@ def label_propagation(
     resume_from: tuple[int, DataFrame] | None = None,
     broadcast_threshold: int = 131_072,
     stop_on_cycle: bool = True,
+    delta_min_edges: int = 8_000_000,
 ) -> DataFrame:
     """Synchronous weighted label propagation.
 
@@ -153,6 +154,19 @@ def label_propagation(
     path.  Late rounds of a converging run then shuffle only the
     shrinking frontier's incident votes instead of all m edges — the
     same frontier design as the CC loop.
+
+    ``delta_min_edges``: the delta machinery additionally requires the
+    edge table to hold at least this many rows (counted once, lazily,
+    from the cached table the first time the frontier gate passes).
+    Measured on the round-6 core+fringe fixture (50 K200 cliques + a
+    500-vertex churning path, ~2M directed rows): a full vote round
+    over the CACHED table costs ~0.65 s while a delta round costs
+    ~0.9 s — the delta's fixed overhead (one count job + two broadcast
+    semi-join builds, ~0.3-0.5 s of local job latency) exceeds the
+    full scan's marginal cost (~0.3 s per 4M cached rows) until the
+    table reaches roughly 4-8M rows.  Below the default the full
+    recompute is simply faster; set 0 to always allow delta (tests),
+    or raise it for clusters whose per-job latency is higher.
 
     ``stop_on_cycle``: also stop when ``L_t == L_{t-2}`` (the only
     non-fixpoint terminal state of these dynamics — module docstring),
@@ -193,6 +207,7 @@ def label_propagation(
     changed: DataFrame | None = None
     n_changed: int | None = None
     n_verts: int | None = None
+    m_edges: int | None = None
     prev_state: DataFrame | None = None
 
     if resume_from is not None:
@@ -225,13 +240,16 @@ def label_propagation(
         # vote; argmax by (weight DESC, label ASC) == min over the
         # (-weight, label) struct — map-side-combined aggregations
         aff = None
-        if (
+        gate = (
             changed is not None
             and n_changed is not None
             and 0 < n_changed <= broadcast_threshold
             and n_verts is not None
             and n_changed * 8 <= n_verts
-        ):
+        )
+        if gate and m_edges is None:
+            m_edges = e.count()  # cached table; paid once per run
+        if gate and m_edges >= delta_min_edges:
             # voters whose vote can differ = neighbors of last round's
             # changed vertices (the graph is symmetric, so out-
             # neighbors of changed == vertices that hear the change)

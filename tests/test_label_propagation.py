@@ -127,7 +127,7 @@ def test_delta_path_matches_full_recompute(spark):
             assert want == lpa_oracle(triples, iters), (seed, iters)
             for thr in (2, 1 << 20):
                 got = _labels(
-                    label_propagation(e, max_iterations=iters, broadcast_threshold=thr)
+                    label_propagation(e, max_iterations=iters, broadcast_threshold=thr, delta_min_edges=0)
                 )
                 assert got == want, (seed, iters, thr)
 
@@ -143,7 +143,7 @@ def test_delta_round_skips_settled_voters(spark):
     e = make_edges(spark, triples)
     for iters in (3, 8):
         assert _labels(
-            label_propagation(e, max_iterations=iters, broadcast_threshold=1 << 20)
+            label_propagation(e, max_iterations=iters, broadcast_threshold=1 << 20, delta_min_edges=0)
         ) == lpa_oracle(triples, iters), iters
 
 
