@@ -123,6 +123,8 @@ def main() -> None:
 
     plans["best_neighbor"] = lambda: best_neighbor(sym)
 
+
+
     def _compress():
         labels = best_neighbor(sym).select(F.col("src").alias("vid"), F.col("dst").alias("label"))
         nw = labels.select("vid", F.lit(1.0).alias("node_weight"))
