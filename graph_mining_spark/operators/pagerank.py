@@ -191,12 +191,13 @@ def _pagerank_run(
         # NOT a per-core constant, so a cluster-sized session fans out.
         eparts = min(shuffle_parts, max(1, -(-m_edges // 4_000_000)))
         e = e_raw.repartition(eparts, "dst").persist(StorageLevel.MEMORY_AND_DISK)
-        e.count()
-        e_raw.unpersist()
     else:
         e = e_raw.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
-        e.count()
-        e_raw.unpersist()
+    # e's cache fills during the FIRST superstep batch (reading e_raw,
+    # which stays persisted until then) — an eager count here was a
+    # whole extra pass over the edge table per call; e_raw is released
+    # right after the first batch materializes e (below)
+    e_raw_live = True
 
     def one_step(cur: DataFrame, dangling_mass: float) -> DataFrame:
         rank_src = cur.filter(F.col("deg") > 0).select(
@@ -248,6 +249,10 @@ def _pagerank_run(
             state = cut_lineage(staged)
         got = obs.get
         l1, dangling = float(got["metric"]), float(got["dangling"] or 0.0)
+        if e_raw_live:
+            # the first batch has materialized e's cache; drop the raw copy
+            e_raw.unpersist()
+            e_raw_live = False
         prev_of_last.unpersist()
         old_state.unpersist()
         if l1 < eps:
