@@ -61,6 +61,34 @@ _SHARD_CACHE_BYTES = 0
 _EDGES_PER_GATHER_TASK = int(os.environ.get("SPARK_GRAFT_GATHER_EDGES_PER_TASK", "1000000"))
 
 
+def _driver_gather_max_edges() -> int:
+    """Edge-count gate for the DRIVER-LOCAL gather: when the whole
+    shard set already fits a single gather task (gather_parts == 1 —
+    only possible below ~4M edges, see the write_parts cap), that task
+    is SERIAL either way, so executing the identical kernel in the
+    driver process skips one Spark job (+ broadcast + Arrow collect)
+    per superstep — measured ~0.2-0.5 s of pure launch latency per
+    gather in local mode.  Results are bit-identical: same kernel, same
+    file order, same combine.  Set to 0 to force the distributed path
+    (tests do, to pin both).  At 100 TB scale gather_parts ≫ 1 and the
+    gate never fires.  Read at call time so tests can monkeypatch."""
+    return int(os.environ.get("SPARK_GRAFT_DRIVER_GATHER_EDGES", "8000000"))
+
+
+def _jvm_pack_max_vertices() -> int:
+    """Vertex-count gate for the JVM (broadcast-join) reindex pack: an
+    UNSALTED graph whose vertex dictionary fits a broadcast hash join
+    (~16 B/row) can be packed s/d = dense index entirely in the JVM —
+    two broadcast joins against the (vid, idx) dictionary — instead of
+    the mapInArrow searchsorted kernel.  Same rows, same order, same
+    int32 types; the point is that a small-regime run never starts the
+    Python worker runner at all (one-time init measured ~3.5 s in local
+    mode).  Salted or larger graphs keep the Arrow pack (a 10⁸-row
+    dictionary join would shuffle; the NumPy broadcast search is the
+    scale path).  Set to 0 to force the Arrow pack."""
+    return int(os.environ.get("SPARK_GRAFT_JVM_PACK_MAX_VERTICES", "4000000"))
+
+
 def _load_shard(path: str):
     """Read one shard by URI — local, HDFS, S3A, ... via pyarrow's
     filesystem resolution, so executors read from whatever shared store
@@ -133,6 +161,12 @@ class CsrShards:
     out_deg: np.ndarray  # dense index -> out-degree
     n: int
     _cleanup: bool = field(default=True)
+    # driver-local gather support (see _driver_gather_max_edges): the
+    # shard URI list in gather-partition order, the edge total, and the
+    # gather partition count the descriptor DataFrame was built with
+    files: list[str] | None = None
+    total_edges: int = 0
+    gather_parts: int = 1
 
     def index_of(self, vid_array: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.vids, vid_array)
@@ -263,6 +297,25 @@ def materialize_csr_shards(
             .repartition(write_parts, "d", "t")
             .select("s", "d")
         )
+    elif n <= _jvm_pack_max_vertices():
+        # JVM reindex: two broadcast hash joins against the (vid, idx)
+        # dictionary — bit-identical rows/order/types to the Arrow pack
+        # (broadcast joins preserve stream-side order), but the session
+        # never starts a Python worker for a small-regime build
+        import pandas as pd
+
+        ddf = spark.createDataFrame(
+            pd.DataFrame({"vid": vids, "idx": np.arange(n, dtype=np.int32)})
+        )
+        to_write = (
+            base.select(
+                F.col("src").cast("long").alias("_s"), F.col("dst").cast("long").alias("_d")
+            )
+            .join(F.broadcast(ddf.select(F.col("vid").alias("_s"), F.col("idx").alias("s"))), "_s")
+            .join(F.broadcast(ddf.select(F.col("vid").alias("_d"), F.col("idx").alias("d"))), "_d")
+            .select("s", "d")
+            .repartition(write_parts, "d")
+        )
     else:
         to_write = base.mapInArrow(pack, schema="s int, d int").repartition(write_parts, "d")
     root = shard_root or os.environ.get("SPARK_GRAFT_CKPT_DIR", "/tmp/graph_mining_spark_ckpt")
@@ -276,48 +329,92 @@ def materialize_csr_shards(
     # instead of one per file, while a 100 TB edge set still fans out
     # to edges/1M tasks.
     gather_parts = max(1, min(len(files), -(-total_edges // _EDGES_PER_GATHER_TASK)))
-    # exact partition count up front (sc.parallelize) — a
-    # createDataFrame + repartition pair costs two extra tiny jobs
-    shard_files = spark.createDataFrame(
-        spark.sparkContext.parallelize([(p,) for p in files], gather_parts),
-        "path string",
-    )
+    if gather_parts == 1:
+        # single-partition descriptor as a LocalRelation (driver-side
+        # Arrow conversion): materializing it is a pure-JVM job, where
+        # sc.parallelize would make it a Python RDD whose very first
+        # count starts the Python worker runner
+        import pandas as pd
+
+        shard_files = spark.createDataFrame(pd.DataFrame({"path": files})).coalesce(1)
+    else:
+        # exact partition count up front (sc.parallelize) — a
+        # createDataFrame + repartition pair costs two extra tiny jobs
+        shard_files = spark.createDataFrame(
+            spark.sparkContext.parallelize([(p,) for p in files], gather_parts),
+            "path string",
+        )
     shard_files = shard_files.persist()
     shard_files.count()
     bvids.destroy()
     if bnsalt is not None:
         bnsalt.destroy()
 
-    return CsrShards(shard_files=shard_files, shard_dir=shard_dir, vids=vids, out_deg=deg, n=n)
+    return CsrShards(
+        shard_files=shard_files,
+        shard_dir=shard_dir,
+        vids=vids,
+        out_deg=deg,
+        n=n,
+        files=files,
+        total_edges=total_edges,
+        gather_parts=gather_parts,
+    )
+
+
+def _partition_gather(paths, values: np.ndarray, n: int, mode: str):
+    """One gather partition's kernel: accumulate over its shard files
+    in order, return (touched indices, partial values).  Shared verbatim
+    by the distributed map task and the driver-local fast path so the
+    two are bit-identical by construction."""
+    if mode == "sum":
+        acc = np.zeros(n, dtype=np.float64)
+    else:
+        acc = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    touched = np.zeros(n, dtype=bool)
+    for path in paths:
+        s, d = _load_shard(path)
+        if mode == "sum":
+            acc += np.bincount(d, weights=values[s], minlength=n)
+        else:
+            np.minimum.at(acc, d, values[s])
+        touched[d] = True
+    nz = np.flatnonzero(touched)
+    return nz, acc[nz]
 
 
 def _gather(shards: CsrShards, values: np.ndarray, mode: str) -> np.ndarray:
     """Shared driver for gather_sum / gather_min: one map over the
     shard descriptors, per-shard NumPy kernel over cached edge arrays,
-    driver-side combine (the salted second stage)."""
+    driver-side combine (the salted second stage).
+
+    Driver-local fast path: when the whole shard set is one gather
+    partition anyway (small graph — the task would run serially on one
+    core), run the SAME kernel + combine in the driver process and skip
+    the per-superstep Spark job entirely.  Same files, same order, same
+    float operations — bit-identical output."""
+    n = shards.n
+    if (
+        shards.files is not None
+        and shards.gather_parts == 1
+        and shards.total_edges <= _driver_gather_max_edges()
+    ):
+        nz, vnz = _partition_gather(shards.files, values, n, mode)
+        if mode == "sum":
+            return np.bincount(nz, weights=vnz, minlength=n).astype(np.float64)
+        out = values.copy()
+        np.minimum.at(out, nz, vnz)
+        return out
+
     spark = shards.shard_files.sparkSession
     bvals = spark.sparkContext.broadcast(values)
-    n = shards.n
 
     def kernel(batches):
         import pyarrow as pa
 
-        if mode == "sum":
-            acc = np.zeros(n, dtype=np.float64)
-        else:
-            acc = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
-        touched = np.zeros(n, dtype=bool)
-        for batch in batches:
-            for path in batch.column("path").to_pylist():
-                s, d = _load_shard(path)
-                if mode == "sum":
-                    acc += np.bincount(d, weights=bvals.value[s], minlength=n)
-                else:
-                    np.minimum.at(acc, d, bvals.value[s])
-                touched[d] = True
-        nz = np.flatnonzero(touched)
-        out_type = pa.array(acc[nz])
-        yield pa.RecordBatch.from_arrays([pa.array(nz.astype(np.int32)), out_type], names=["d", "v"])
+        paths = [p for batch in batches for p in batch.column("path").to_pylist()]
+        nz, vnz = _partition_gather(paths, bvals.value, n, mode)
+        yield pa.RecordBatch.from_arrays([pa.array(nz.astype(np.int32)), pa.array(vnz)], names=["d", "v"])
 
     out_schema = "d int, v double" if mode == "sum" else "d int, v long"
     pdf = shards.shard_files.mapInArrow(kernel, schema=out_schema).toPandas()

@@ -108,3 +108,51 @@ def test_csr_build_rejects_empty_vertex_table(spark):
     verts = spark.createDataFrame([], "vid long")
     with pytest.raises(ValueError, match="not in `vertices`"):
         materialize_csr_shards(e, vertices=verts, partitions=2)
+
+
+def test_driver_gather_matches_distributed_bitwise(spark, monkeypatch):
+    """The driver-local gather fast path (small single-partition shard
+    sets) must be BIT-identical to the distributed map — same kernel,
+    same file order, same combine."""
+    from graph_mining_spark.csr import gather_min
+
+    und = seeded_er_edges(60, 0.15, seed=9)
+    directed = und + [(v, u, w) for u, v, w in und]
+    sh = materialize_csr_shards(make_edges(spark, directed), partitions=4)
+    assert sh.files is not None and sh.gather_parts == 1  # gate applies
+    rng = np.random.RandomState(3)
+    vals = rng.rand(sh.n)
+    ivals = rng.randint(0, 1 << 40, sh.n).astype(np.int64)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_GATHER_EDGES", "8000000")
+    s_drv, m_drv = gather_sum(sh, vals), gather_min(sh, ivals)
+    monkeypatch.setenv("SPARK_GRAFT_DRIVER_GATHER_EDGES", "0")  # force distributed
+    s_dist, m_dist = gather_sum(sh, vals), gather_min(sh, ivals)
+    assert np.array_equal(s_drv, s_dist)
+    assert np.array_equal(m_drv, m_dist)
+    sh.unpersist()
+
+
+def test_jvm_pack_matches_arrow_pack_bitwise(spark, monkeypatch):
+    """The JVM broadcast-join reindex (small unsalted regime) must write
+    the same shard rows in the same order as the Arrow searchsorted
+    pack, so gathers downstream are bit-identical."""
+    import pyarrow.parquet as pq
+
+    und = seeded_er_edges(50, 0.2, seed=17)
+    directed = und + [(v, u, w) for u, v, w in und]
+    e = make_edges(spark, directed)
+    monkeypatch.setenv("SPARK_GRAFT_JVM_PACK_MAX_VERTICES", "4000000")
+    sh_jvm = materialize_csr_shards(e, partitions=4)
+    monkeypatch.setenv("SPARK_GRAFT_JVM_PACK_MAX_VERTICES", "0")  # force Arrow pack
+    sh_py = materialize_csr_shards(e, partitions=4)
+    assert len(sh_jvm.files) == len(sh_py.files)
+    for fj, fp in zip(sh_jvm.files, sh_py.files):
+        tj = pq.read_table(fj.replace("file:", ""), columns=["s", "d"])
+        tp = pq.read_table(fp.replace("file:", ""), columns=["s", "d"])
+        assert tj.schema.equals(tp.schema)
+        assert np.array_equal(tj.column("s").to_numpy(), tp.column("s").to_numpy())
+        assert np.array_equal(tj.column("d").to_numpy(), tp.column("d").to_numpy())
+    vals = np.linspace(0.1, 1.1, sh_jvm.n)
+    assert np.array_equal(gather_sum(sh_jvm, vals), gather_sum(sh_py, vals))
+    sh_jvm.unpersist()
+    sh_py.unpersist()
