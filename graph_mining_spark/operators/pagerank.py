@@ -199,7 +199,7 @@ def _pagerank_run(
     # right after the first batch materializes e (below)
     e_raw_live = True
 
-    def one_step(cur: DataFrame, dangling_mass: float) -> DataFrame:
+    def one_step(cur: DataFrame, dangling_mass: float, carry_prev: bool = False) -> DataFrame:
         rank_src = cur.filter(F.col("deg") > 0).select(
             F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("_c")
         )
@@ -213,9 +213,17 @@ def _pagerank_run(
             + F.lit(damping)
             * (F.coalesce("_contrib", F.lit(0.0)) + F.lit(float(dangling_mass)) * F.col("p"))
         )
-        return base.join(
-            F.broadcast(contribs) if use_bcast else contribs, "vid", "left"
-        ).select("vid", new_rank.alias("rank"), "deg", "p")
+        # join CUR (same vid set, same deg/p values as `base`) so the
+        # last step can CARRY its input rank as `_prev` for the L1
+        # observation — no separate prev-vector join, no extra persist
+        # of the (k-1)-th state (at scale: one vertex-wide join fewer
+        # per batch; rank arithmetic is unchanged and bit-identical)
+        cols = ["vid", new_rank.alias("rank"), "deg", "p"]
+        if carry_prev:
+            cols.append(F.col("rank").alias("_prev"))
+        return cur.join(F.broadcast(contribs) if use_bcast else contribs, "vid", "left").select(
+            *cols
+        )
 
     from pyspark.sql import Observation
 
@@ -224,24 +232,16 @@ def _pagerank_run(
         cur = state
         for _ in range(steps - 1):
             cur = one_step(cur, dangling)  # dangling is 0 whenever steps > 1
-        # cache the (k-1)-th vector so the final step and the L1 join
-        # share one execution of the chain instead of recomputing it
-        prev_of_last = cur.persist(StorageLevel.MEMORY_AND_DISK)
-        cur = one_step(prev_of_last, dangling)
+        cur = one_step(cur, dangling, carry_prev=True)
         it += steps
         # L1 + next dangling mass ride the checkpoint materialization
         # (Observation) — ONE Spark job per batch of supersteps
         obs = Observation(f"pr_{it}")
-        prev_ranks = prev_of_last.select("vid", F.col("rank").alias("_prev"))
-        staged = (
-            cur.join(F.broadcast(prev_ranks) if use_bcast else prev_ranks, "vid")
-            .observe(
-                obs,
-                F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("metric"),
-                F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
-            )
-            .drop("_prev")
-        )
+        staged = cur.observe(
+            obs,
+            F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("metric"),
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dangling"),
+        ).drop("_prev")
         old_state = state
         if ledger is not None:
             state = ledger.record(it, staged, n_active=n, observation=obs)
@@ -253,7 +253,6 @@ def _pagerank_run(
             # the first batch has materialized e's cache; drop the raw copy
             e_raw.unpersist()
             e_raw_live = False
-        prev_of_last.unpersist()
         old_state.unpersist()
         if l1 < eps:
             break
