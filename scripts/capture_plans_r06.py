@@ -83,14 +83,61 @@ def main() -> None:
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.sum("_c").alias("_contrib"))
             )
-            return fmt(base.join(F.broadcast(contribs), "vid", "left").select(
+            # last step of a batch as pagerank() now builds it: joined
+            # off the running STATE (not base) so the input rank rides
+            # along as _prev for the L1 observation — no separate
+            # prev-vector join
+            return fmt(state.join(F.broadcast(contribs), "vid", "left").select(
                 "vid",
                 (F.lit(0.15) * F.col("p") + F.lit(0.85) * F.coalesce("_contrib", F.lit(0.0))).alias("rank"),
                 "deg",
                 "p",
+                F.col("rank").alias("_prev"),
             ))
 
     plans["pagerank_superstep"] = _pagerank_superstep
+
+    def _csr_pack():
+        # the small-regime JVM reindex pack exactly as
+        # materialize_csr_shards now builds it: two broadcast joins
+        # against the (vid, idx) dictionary — no MapInArrow node, so
+        # the session never starts the Python worker runner
+        import numpy as np
+        import pandas as pd
+
+        base = sym.select("src", "dst")
+        stats = (
+            base.selectExpr(
+                "inline(array("
+                "  struct(cast(src as long) as vid, 1 as _o, 0 as _i),"
+                "  struct(cast(dst as long) as vid, 0 as _o, 1 as _i)))"
+            )
+            .groupBy("vid")
+            .agg(F.sum("_o").alias("_o"), F.sum("_i").alias("_i"))
+            .toPandas()
+        )
+        vids = np.sort(stats["vid"].to_numpy(dtype=np.int64))
+        if tag == "before":
+            # the Arrow searchsorted pack this replaced: a MapInArrow
+            # node (Python worker stage) feeding the same repartition
+            def pack(batches):
+                yield from batches
+
+            return base.mapInArrow(pack, schema="s int, d int").repartition(1, "d")
+        ddf = spark.createDataFrame(
+            pd.DataFrame({"vid": vids, "idx": np.arange(len(vids), dtype=np.int32)})
+        )
+        return (
+            base.select(
+                F.col("src").cast("long").alias("_s"), F.col("dst").cast("long").alias("_d")
+            )
+            .join(F.broadcast(ddf.select(F.col("vid").alias("_s"), F.col("idx").alias("s"))), "_s")
+            .join(F.broadcast(ddf.select(F.col("vid").alias("_d"), F.col("idx").alias("d"))), "_d")
+            .select("s", "d")
+            .repartition(1, "d")
+        )
+
+    plans["csr_pack"] = _csr_pack
 
     def _cc_superstep():
         # the small-regime cc superstep exactly as connected_components()
