@@ -94,27 +94,54 @@ def pagerank(
     verts = vertex_ids(e_raw) if vertices is None else vertices.select(F.col("vid").cast("long")).distinct()
 
     out_deg = e_raw.groupBy(F.col("src").alias("vid")).agg(F.count("*").alias("deg"))
-    if source_vids:
-        src_set = spark.createDataFrame([(int(s),) for s in source_vids], "vid long")
-        p_col = F.when(F.col("_is_src"), F.lit(1.0 / len(source_vids))).otherwise(F.lit(0.0))
-        base = (
-            verts.join(out_deg, "vid", "left")
-            .join(src_set.withColumn("_is_src", F.lit(True)), "vid", "left")
-            .select("vid", F.coalesce("deg", F.lit(0)).alias("deg"),
-                    F.coalesce("_is_src", F.lit(False)).alias("_is_src"))
-            .select("vid", "deg", p_col.alias("p"))
-        )
-    else:
-        base = None  # uniform restart, filled after n is known
 
-    n = verts.count()
-    if n == 0:
-        e_raw.unpersist()
-        return spark.createDataFrame([], "vid long, rank double")
-    if base is None:
+    import contextlib
+
+    from graph_mining_spark.session import no_adaptive
+
+    fold_stats = None
+    if not source_vids and resume_from is None:
+        # Uniform fresh start (the common case): ONE cache-filling
+        # aggregation over the persisted (vid, deg) table returns
+        # n, the dangling count AND the edge count together — the
+        # separate full-scan `verts.count()` job is gone, and the
+        # restart probability / initial rank become literals applied
+        # after n is known (they were per-row constants anyway).
         base = verts.join(out_deg, "vid", "left").select(
-            "vid", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0 / n).alias("p")
-        )
+            "vid", F.coalesce("deg", F.lit(0)).alias("deg")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        row0 = base.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("dcount"),
+            F.sum("deg").alias("m"),
+        ).first()
+        n = int(row0["n"])
+        if n == 0:
+            base.unpersist()
+            e_raw.unpersist()
+            return spark.createDataFrame([], "vid long, rank double")
+        fold_stats = (int(row0["dcount"] or 0), int(row0["m"] or 0))
+    else:
+        if source_vids:
+            src_set = spark.createDataFrame([(int(s),) for s in source_vids], "vid long")
+            p_col = F.when(F.col("_is_src"), F.lit(1.0 / len(source_vids))).otherwise(F.lit(0.0))
+            base = (
+                verts.join(out_deg, "vid", "left")
+                .join(src_set.withColumn("_is_src", F.lit(True)), "vid", "left")
+                .select("vid", F.coalesce("deg", F.lit(0)).alias("deg"),
+                        F.coalesce("_is_src", F.lit(False)).alias("_is_src"))
+                .select("vid", "deg", p_col.alias("p"))
+            )
+        else:
+            base = None  # uniform restart, filled after n is known
+        n = verts.count()
+        if n == 0:
+            e_raw.unpersist()
+            return spark.createDataFrame([], "vid long, rank double")
+        if base is None:
+            base = verts.join(out_deg, "vid", "left").select(
+                "vid", F.coalesce("deg", F.lit(0)).alias("deg"), F.lit(1.0 / n).alias("p")
+            )
 
     use_bcast = n <= broadcast_threshold
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -126,57 +153,100 @@ def pagerank(
     # round-trip — pure overhead in a regime with no data-scale shuffle
     # to coalesce and no skew to split (see session.no_adaptive).  The
     # caches built here are mode-local and released before returning.
-    import contextlib
-
-    from graph_mining_spark.session import no_adaptive
-
     # residual exchanges (init distinct / vertex joins) sized from the
     # vertex count rather than the static session default
     with no_adaptive(spark, max(1, -(-n // 2_000_000))) if use_bcast else contextlib.nullcontext():
         return _pagerank_run(
             spark, e_raw, base, n, use_bcast, shuffle_parts, resume_from,
             source_vids, damping, approx_precision, max_iterations,
-            check_every, ledger,
+            check_every, ledger, fold_stats=fold_stats,
         )
 
 
 def _pagerank_run(
     spark, e_raw, base, n, use_bcast, shuffle_parts, resume_from,
     source_vids, damping, approx_precision, max_iterations, check_every,
-    ledger,
+    ledger, fold_stats=None,
 ) -> DataFrame:
-    if use_bcast:
-        # SIZE-derived vertex partitioning (guide §2.2: partitions in
-        # the 100 MB+ range, not one per core): a ≤131k-row vertex
-        # table is a handful of MB, so the per-superstep vertex-sized
-        # stages run as 1-2 tasks instead of `shuffle.partitions` tiny
-        # ones — measured, the 32-partition vertex state made every
-        # broadcast-build and checkpoint job a 32-task launch for <3 MB
-        # of data.  Above the threshold the session's shuffle
-        # partitioning (cluster-sized at submit time) applies unchanged.
-        vparts = max(1, -(-n // 2_000_000))
-        base = base.repartition(vparts, "vid").persist(StorageLevel.MEMORY_AND_DISK)
-    else:
-        base = base.repartition("vid").persist(StorageLevel.MEMORY_AND_DISK)
+    # SIZE-derived vertex partitioning (guide §2.2: partitions in
+    # the 100 MB+ range, not one per core): a ≤131k-row vertex
+    # table is a handful of MB, so the per-superstep vertex-sized
+    # stages run as 1-2 tasks instead of `shuffle.partitions` tiny
+    # ones — measured, the 32-partition vertex state made every
+    # broadcast-build and checkpoint job a 32-task launch for <3 MB
+    # of data.  Above the threshold the session's shuffle
+    # partitioning (cluster-sized at submit time) applies unchanged.
+    vparts = max(1, -(-n // 2_000_000)) if use_bcast else None
 
-    if resume_from is not None:
-        it, state = resume_from
-        state = state.select("vid", "rank", "deg", "p").persist(StorageLevel.MEMORY_AND_DISK)
-    else:
+    if fold_stats is not None:
+        # fold path (uniform fresh start): `base` is the already-persisted
+        # (vid, deg) table and n / dangling count / edge count were read
+        # off its cache-filling aggregation — no second full-scan job.
+        n_dangling, m_edges = fold_stats
+        eparts = min(shuffle_parts, max(1, -(-m_edges // 4_000_000))) if use_bcast else None
+        # fused single-partition regime: when BOTH the vertex state and
+        # the edge table fit one size-derived partition, stack a
+        # coalesce(1) on the repartition (same rows, same order — the
+        # 1-partition exchange output is unchanged; coalesce only turns
+        # the partitioning metadata into SinglePartition, which
+        # satisfies every required distribution).  Every per-superstep
+        # join then runs as an in-stage shuffled-hash join: ZERO
+        # exchanges AND zero broadcast-build sub-jobs — one Spark job
+        # per superstep batch (measured 5 → 1 at sf0.1; results
+        # bitwise identical).  At scale eparts > 1 and the gate never
+        # fires.
+        use_fused = bool(use_bcast and vparts == 1 and eparts == 1)
+        b = base.repartition(vparts, "vid") if use_bcast else base.repartition("vid")
+        if use_fused:
+            b = b.coalesce(1)
         it = 0
-        init = 1.0 / n if not source_vids else None
-        rank0 = F.lit(init) if init is not None else F.col("p")
-        state = base.select("vid", rank0.alias("rank"), "deg", "p").persist(StorageLevel.MEMORY_AND_DISK)
-    # one action: initial dangling mass, dangling-vertex count AND edge
-    # count (m = Σ out-degree, sizing the edge repartition below)
-    row0 = state.agg(
-        F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dmass"),
-        F.sum(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("dcount"),
-        F.sum("deg").alias("m"),
-    ).first()
-    dangling = float(row0["dmass"] or 0.0)
-    n_dangling = int(row0["dcount"] or 0)
-    m_edges = int(row0["m"] or 0)
+        init = 1.0 / n
+        state = b.select(
+            "vid", F.lit(init).alias("rank"), "deg", F.lit(init).alias("p")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        if n_dangling == 0:
+            dangling = 0.0
+        elif use_bcast and vparts == 1:
+            # single-partition aggregation = one sequential left fold;
+            # every dangling term is the same literal 1/n and the
+            # interleaved non-dangling terms add exact 0.0 — replicate
+            # the fold on the driver instead of paying a Spark job
+            acc = 0.0
+            for _ in range(n_dangling):
+                acc += init
+            dangling = acc
+        else:
+            dangling = float(
+                state.agg(
+                    F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0)))
+                ).first()[0]
+                or 0.0
+            )
+    else:
+        use_fused = False
+        if use_bcast:
+            base = base.repartition(vparts, "vid").persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            base = base.repartition("vid").persist(StorageLevel.MEMORY_AND_DISK)
+
+        if resume_from is not None:
+            it, state = resume_from
+            state = state.select("vid", "rank", "deg", "p").persist(StorageLevel.MEMORY_AND_DISK)
+        else:
+            it = 0
+            rank0 = F.col("p")
+            state = base.select("vid", rank0.alias("rank"), "deg", "p").persist(StorageLevel.MEMORY_AND_DISK)
+        # one action: initial dangling mass, dangling-vertex count AND edge
+        # count (m = Σ out-degree, sizing the edge repartition below)
+        row0 = state.agg(
+            F.sum(F.when(F.col("deg") == 0, F.col("rank")).otherwise(F.lit(0.0))).alias("dmass"),
+            F.sum(F.when(F.col("deg") == 0, 1).otherwise(0)).alias("dcount"),
+            F.sum("deg").alias("m"),
+        ).first()
+        dangling = float(row0["dmass"] or 0.0)
+        n_dangling = int(row0["dcount"] or 0)
+        m_edges = int(row0["m"] or 0)
+        eparts = min(shuffle_parts, max(1, -(-m_edges // 4_000_000))) if use_bcast else None
 
     eps = approx_precision * n
     cap = max_iterations if max_iterations is not None else 1_000_000
@@ -189,8 +259,10 @@ def _pagerank_run(
         # from the edge COUNT (~4M int-pair rows ≈ 64 MB per task,
         # guide §2.2), capped at the session's shuffle partitioning —
         # NOT a per-core constant, so a cluster-sized session fans out.
-        eparts = min(shuffle_parts, max(1, -(-m_edges // 4_000_000)))
-        e = e_raw.repartition(eparts, "dst").persist(StorageLevel.MEMORY_AND_DISK)
+        e = e_raw.repartition(eparts, "dst")
+        if use_fused:
+            e = e.coalesce(1)
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     else:
         e = e_raw.repartition("src").persist(StorageLevel.MEMORY_AND_DISK)
     # e's cache fills during the FIRST superstep batch (reading e_raw,
@@ -203,8 +275,19 @@ def _pagerank_run(
         rank_src = cur.filter(F.col("deg") > 0).select(
             F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("_c")
         )
+        # fused regime: every table is SinglePartition, so a
+        # shuffled-hash join (build = the vertex-sized side, stream =
+        # the same side a broadcast join would stream) runs in-stage
+        # with no exchange and NO broadcast-build sub-job / driver
+        # collect round-trip
+        if use_fused:
+            rank_side = rank_src.hint("shuffle_hash")
+        elif use_bcast:
+            rank_side = F.broadcast(rank_src)
+        else:
+            rank_side = rank_src
         contribs = (
-            e.join(F.broadcast(rank_src) if use_bcast else rank_src, "src")
+            e.join(rank_side, "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum("_c").alias("_contrib"))
         )
@@ -221,9 +304,13 @@ def _pagerank_run(
         cols = ["vid", new_rank.alias("rank"), "deg", "p"]
         if carry_prev:
             cols.append(F.col("rank").alias("_prev"))
-        return cur.join(F.broadcast(contribs) if use_bcast else contribs, "vid", "left").select(
-            *cols
-        )
+        if use_fused:
+            contrib_side = contribs.hint("shuffle_hash")
+        elif use_bcast:
+            contrib_side = F.broadcast(contribs)
+        else:
+            contrib_side = contribs
+        return cur.join(contrib_side, "vid", "left").select(*cols)
 
     from pyspark.sql import Observation
 
@@ -247,6 +334,12 @@ def _pagerank_run(
             state = ledger.record(it, staged, n_active=n, observation=obs)
         else:
             state = cut_lineage(staged)
+        if use_fused:
+            # restore SinglePartition metadata on the checkpointed /
+            # parquet-reread state (a no-op narrow transform on an
+            # already-1-partition table) so the next batch stays
+            # exchange-free
+            state = state.coalesce(1)
         got = obs.get
         l1, dangling = float(got["metric"]), float(got["dangling"] or 0.0)
         if e_raw_live:
