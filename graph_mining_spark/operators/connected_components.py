@@ -109,8 +109,26 @@ def connected_components(
 
     from graph_mining_spark.session import no_adaptive
 
+    # fused single-partition regime (same trick as pagerank's): when the
+    # edge table fits ONE size-derived partition and the vertex set one
+    # ~64 MB partition, stack coalesce(1) on the repartitions so every
+    # per-superstep join runs as an in-stage shuffled-hash join — zero
+    # exchanges, zero broadcast-build sub-jobs, ONE Spark job per
+    # superstep (labels are exact integers, so results are unchanged by
+    # construction).  At scale eparts > 1 and the gate never fires.
+    fused = bool(small) and m <= 4_000_000
+
     with no_adaptive(spark, max(1, -(-m // 4_000_000))) if small else contextlib.nullcontext():
-        if small:
+        if fused:
+            # a PURE coalesce(1): narrow (the cache fill never shuffles)
+            # and its SinglePartition output satisfies every join /
+            # aggregation distribution.  Stacking it on a repartition
+            # would NOT work — CollapseRepartition folds the pair into
+            # the hash exchange, whose HashPartitioning(dst, 1) fails
+            # the src-keyed join requirement and re-introduces tiny
+            # in-plan exchanges.
+            e = raw.coalesce(1).persist(StorageLevel.MEMORY_AND_DISK)
+        elif small:
             eparts = max(1, -(-m // 4_000_000))
             # materialized lazily by superstep 1 (reads the cached raw)
             e = raw.repartition(eparts, "dst").persist(StorageLevel.MEMORY_AND_DISK)
@@ -132,7 +150,9 @@ def connected_components(
         else:
             start = 0
             labels = verts.select("vid", F.col("vid").alias("label"))
-            if small:
+            if fused:
+                labels = labels.coalesce(1)
+            elif small:
                 labels = labels.repartition(max(1, -(-2 * m // 2_000_000)), "vid")
             labels = cut_lineage(labels)
             changed = labels
@@ -153,22 +173,40 @@ def connected_components(
                 nbr_min = e.groupBy(F.col("dst").alias("vid")).agg(F.min("src").alias("nbr_label"))
             else:
                 frontier = changed.withColumnRenamed("vid", "src")
-                if small or (n_changed is not None and n_changed <= broadcast_threshold):
+                if fused:
+                    frontier = frontier.hint("shuffle_hash")
+                elif small or (n_changed is not None and n_changed <= broadcast_threshold):
                     frontier = F.broadcast(frontier)
                 nbr_min = (
                     e.join(frontier, "src")
                     .groupBy(F.col("dst").alias("vid"))
                     .agg(F.min("label").alias("nbr_label"))
                 )
-            if small:
+            if fused:
+                # the extra coalesce(1) re-stamps a clean SinglePartition
+                # on the join-derived aggregate: a join output reports a
+                # PartitioningCollection, which fails EnsureRequirements'
+                # co-partition compatibility check at the NEXT join and
+                # would re-shuffle BOTH sides (measured: hashpartitioning
+                # (vid, 1) exchanges on either side of every superstep
+                # join without it)
+                nbr_min = nbr_min.coalesce(1).hint("shuffle_hash")
+            elif small:
                 nbr_min = F.broadcast(nbr_min)
             stepped = (
                 labels.join(nbr_min, "vid", "left")
                 .select("vid", F.least("label", F.coalesce("nbr_label", "label")).alias("label"), F.col("label").alias("_prev"))
             )
+            if fused:
+                # SinglePartition metadata for the label-keyed self-join
+                # below (the join output's hash(vid, 1) partitioning
+                # would not satisfy a `label` clustering)
+                stepped = stepped.coalesce(1)
             # (2) pointer jumping: label ← label[label]
             parent = stepped.select(F.col("vid").alias("_p_vid"), F.col("label").alias("_p_label"))
-            if small:
+            if fused:
+                parent = parent.hint("shuffle_hash")
+            elif small:
                 parent = F.broadcast(parent)
             jumped = (
                 stepped.join(parent, stepped.label == parent._p_vid, "left")
@@ -183,7 +221,16 @@ def connected_components(
             obs = Observation(f"cc_{step}")
             staged = jumped.select(
                 "vid", "label", (F.col("label") != F.col("_prev")).alias("_chg")
-            ).observe(
+            )
+            if fused:
+                # coalesce BEFORE the lineage cut: a join output reports
+                # a PartitioningCollection, and a LogicalRDD checkpointed
+                # with one poisons every later join against it (measured:
+                # EnsureRequirements re-shuffles both sides even through
+                # a downstream coalesce).  With the coalesce below the
+                # checkpoint, the LogicalRDD records clean SinglePartition
+                staged = staged.coalesce(1)
+            staged = staged.observe(
                 obs,
                 F.sum(F.col("_chg").cast("long")).alias("metric"),
                 F.sum(F.col("_chg").cast("long")).alias("n_active"),
@@ -194,6 +241,10 @@ def connected_components(
             else:
                 state = cut_lineage(staged)
                 n_changed = int(obs.get["metric"] or 0)
+            if fused:
+                # restore SinglePartition metadata on the checkpointed
+                # state so the next superstep stays exchange-free
+                state = state.coalesce(1)
             changed = state.filter("_chg").select("vid", "label")
             labels = state.select("vid", "label")
             if n_changed == 0:
