@@ -261,6 +261,7 @@ def forest_components(
     max_doublings: int = 64,
     targets_in_vertices: bool = False,
     small: bool = False,
+    fused: bool = False,
 ) -> DataFrame:
     """Components of a BEST-NEIGHBOR pointer forest — the affinity
     round's inner connectivity (parallel_affinity_internal.cc's forest
@@ -291,17 +292,32 @@ def forest_components(
     from pyspark.sql import Observation
 
     def _b(df):
-        # ``small`` (affinity passes its small-graph-regime flag): the
-        # vertex/cluster-sized build sides of every join here fit a
+        # ``fused`` (affinity's fused single-partition regime): every
+        # table here is a SinglePartition pointer/label table, so an
+        # in-stage shuffled-hash join needs NO broadcast-build sub-job
+        # — each doubling round is ONE Spark job with zero exchanges.
+        # ``small`` alone: the vertex/cluster-sized build sides fit a
         # broadcast, which keeps each doubling round a single narrow
-        # job instead of a two-sided shuffle
+        # job instead of a two-sided shuffle.  All columns are exact
+        # integers, so results are identical in every mode.
+        if fused:
+            return df.hint("shuffle_hash")
         return F.broadcast(df) if small else df
+
+    def _c(df):
+        # SinglePartition re-stamp on join outputs (their
+        # PartitioningCollection fails EnsureRequirements' co-partition
+        # compatibility check at the next join / lineage cut)
+        return df.coalesce(1) if fused else df
 
     p0 = best.select(F.col("src").alias("vid"), F.col("dst").alias("p"))
     verts = vertices.select(F.col("vid").cast("long"))
-    p = verts.join(_b(p0), "vid", "left").select(
+    if fused:
+        p0 = p0.coalesce(1)
+        verts = verts.coalesce(1)
+    p = _c(verts.join(_b(p0), "vid", "left").select(
         "vid", F.coalesce("p", F.col("vid")).alias("p")
-    )
+    ))
     # clamp pointers whose target is OUTSIDE the vertex table to self —
     # connected_components(vertices=...) ignores edges through unknown
     # endpoints (they never enter the label table), and the doubling
@@ -312,27 +328,29 @@ def forest_components(
     # vertex-sized join on the hot path.
     if not targets_in_vertices:
         known = verts.select(F.col("vid").alias("p"), F.lit(True).alias("_k"))
-        p = p.join(known, "p", "left").select(
+        p = _c(p.join(_b(known) if fused else known, "p", "left").select(
             "vid", F.when(F.col("_k").isNotNull(), F.col("p")).otherwise(F.col("vid")).alias("p")
-        )
+        ))
     pp = p.select(F.col("vid").alias("p"), F.col("p").alias("_pp"))
-    p = p.join(_b(pp), "p", "left").select(
+    p = _c(p.join(_b(pp), "p", "left").select(
         "vid",
         F.when(F.col("_pp") == F.col("vid"), F.least("vid", "p"))
         .otherwise(F.col("p"))
         .alias("p"),
-    )
+    ))
     cur = cut_lineage(p)
     converged = False
     for it in range(max_doublings):
         pp = cur.select(F.col("vid").alias("p"), F.col("p").alias("_pp"))
         obs = Observation(f"forest_{it}")
         nxt = (
-            cur.join(_b(pp), "p")
-            .select("vid", F.col("_pp").alias("p"), (F.col("_pp") != F.col("p")).alias("_chg"))
+            _c(cur.join(_b(pp), "p")
+               .select("vid", F.col("_pp").alias("p"), (F.col("_pp") != F.col("p")).alias("_chg")))
             .observe(obs, F.sum(F.col("_chg").cast("long")).alias("metric"))
         )
         cur = cut_lineage(nxt.select("vid", "p"))
+        if fused:
+            cur = cur.coalesce(1)
         if int(obs.get["metric"] or 0) == 0:
             converged = True
             break
@@ -341,7 +359,7 @@ def forest_components(
             best.select("src", "dst"), vertices=verts, already_symmetric=False
         )
     mins = cur.groupBy("p").agg(F.min("vid").alias("label"))
-    return cur.join(_b(mins), "p").select("vid", "label")
+    return _c(cur.join(_b(mins), "p").select("vid", "label"))
 
 
 def connected_components_csr(
