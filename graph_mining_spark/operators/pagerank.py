@@ -195,7 +195,13 @@ def _pagerank_run(
         # per superstep batch (measured 5 → 1 at sf0.1; results
         # bitwise identical).  At scale eparts > 1 and the gate never
         # fires.
-        use_fused = bool(use_bcast and vparts == 1 and eparts == 1)
+        # SPARK_GRAFT_PR_FUSED=0 forces the broadcast-hint DSL path in
+        # the same regime — the parity test pins both paths bitwise
+        import os as _os
+
+        use_fused = bool(use_bcast and vparts == 1 and eparts == 1) and _os.environ.get(
+            "SPARK_GRAFT_PR_FUSED", "1"
+        ) != "0"
         b = base.repartition(vparts, "vid") if use_bcast else base.repartition("vid")
         if use_fused:
             b = b.coalesce(1)
@@ -275,19 +281,8 @@ def _pagerank_run(
         rank_src = cur.filter(F.col("deg") > 0).select(
             F.col("vid").alias("src"), (F.col("rank") / F.col("deg")).alias("_c")
         )
-        # fused regime: every table is SinglePartition, so a
-        # shuffled-hash join (build = the vertex-sized side, stream =
-        # the same side a broadcast join would stream) runs in-stage
-        # with no exchange and NO broadcast-build sub-job / driver
-        # collect round-trip
-        if use_fused:
-            rank_side = rank_src.hint("shuffle_hash")
-        elif use_bcast:
-            rank_side = F.broadcast(rank_src)
-        else:
-            rank_side = rank_src
         contribs = (
-            e.join(rank_side, "src")
+            e.join(F.broadcast(rank_src) if use_bcast else rank_src, "src")
             .groupBy(F.col("dst").alias("vid"))
             .agg(F.sum("_c").alias("_contrib"))
         )
@@ -304,22 +299,60 @@ def _pagerank_run(
         cols = ["vid", new_rank.alias("rank"), "deg", "p"]
         if carry_prev:
             cols.append(F.col("rank").alias("_prev"))
-        if use_fused:
-            contrib_side = contribs.hint("shuffle_hash")
-        elif use_bcast:
-            contrib_side = F.broadcast(contribs)
-        else:
-            contrib_side = contribs
-        return cur.join(contrib_side, "vid", "left").select(*cols)
+        return cur.join(F.broadcast(contribs) if use_bcast else contribs, "vid", "left").select(
+            *cols
+        )
+
+    # fused regime: the whole superstep batch is built by ONE spark.sql
+    # call over temp views instead of ~45 py4j DataFrame/Column calls —
+    # measured ~0.2 s of per-batch driver time, which had become the
+    # largest fixed cost of the loop.  The SQL reproduces the exact
+    # expression tree (float literals via repr round-trip exactly) and
+    # the same join shapes: in-stage shuffled-hash joins over
+    # SinglePartition tables (COALESCE(1) hints re-stamp the join
+    # outputs), no broadcast-build sub-jobs — one Spark job per batch.
+    # Results are bitwise-identical to the DSL chain (pinned by test).
+    if use_fused:
+        import uuid
+
+        _vtag = uuid.uuid4().hex[:10]
+        _ev, _sv = f"pr_e_{_vtag}", f"pr_state_{_vtag}"
+        e.createOrReplaceTempView(_ev)
+        _d1, _d = repr(1.0 - damping), repr(damping)
+
+        def _step_sql(src_rel: str, dangling_mass: float, carry_prev: bool) -> str:
+            prevcol = ", s.rank AS _prev" if carry_prev else ""
+            dm = repr(float(dangling_mass))
+            return (
+                f"SELECT /*+ COALESCE(1), SHUFFLE_HASH(c) */ s.vid, "
+                f"({_d1} * s.p) + {_d} * (coalesce(c._contrib, 0.0D) + {dm} * s.p) AS rank, "
+                f"s.deg, s.p{prevcol} "
+                f"FROM {src_rel} s LEFT JOIN ("
+                f"SELECT /*+ COALESCE(1), SHUFFLE_HASH(r) */ e.dst AS vid, sum(r._c) AS _contrib "
+                f"FROM {_ev} e JOIN (SELECT vid AS src, rank / deg AS _c FROM {src_rel} WHERE deg > 0) r "
+                f"ON e.src = r.src GROUP BY e.dst) c ON s.vid = c.vid"
+            )
+
+        def _batch_df(steps: int, dangling_mass: float) -> DataFrame:
+            parts, src = [], _sv
+            for k in range(steps - 1):
+                parts.append(f"s{k} AS ({_step_sql(src, dangling_mass, False)})")
+                src = f"s{k}"
+            body = _step_sql(src, dangling_mass, True)
+            return spark.sql(("WITH " + ", ".join(parts) + " " if parts else "") + body)
 
     from pyspark.sql import Observation
 
     while it < cap:
         steps = min(batch, cap - it)
-        cur = state
-        for _ in range(steps - 1):
-            cur = one_step(cur, dangling)  # dangling is 0 whenever steps > 1
-        cur = one_step(cur, dangling, carry_prev=True)
+        if use_fused:
+            state.createOrReplaceTempView(_sv)
+            cur = _batch_df(steps, dangling)  # dangling is 0 whenever steps > 1
+        else:
+            cur = state
+            for _ in range(steps - 1):
+                cur = one_step(cur, dangling)  # dangling is 0 whenever steps > 1
+            cur = one_step(cur, dangling, carry_prev=True)
         it += steps
         # L1 + next dangling mass ride the checkpoint materialization
         # (Observation) — ONE Spark job per batch of supersteps
@@ -350,6 +383,9 @@ def _pagerank_run(
         if l1 < eps:
             break
 
+    if use_fused:
+        spark.catalog.dropTempView(_ev)
+        spark.catalog.dropTempView(_sv)
     e.unpersist()
     base.unpersist()
     return state.select("vid", "rank")

@@ -96,3 +96,24 @@ def test_broadcast_and_shuffle_plans_agree(spark):
     s = {r["vid"]: r["rank"] for r in pagerank(e, max_iterations=8, broadcast_threshold=0).collect()}
     assert b.keys() == s.keys()
     assert all(abs(b[k] - s[k]) < 1e-12 for k in b)
+
+
+def test_fused_sql_batch_matches_dsl_bitwise(spark, monkeypatch):
+    # the fused single-partition path builds each superstep batch with
+    # one spark.sql call; SPARK_GRAFT_PR_FUSED=0 forces the
+    # broadcast-hint DSL chain in the same regime.  Ranks must be
+    # BITWISE identical (same join shapes, same float expression tree),
+    # with and without dangling vertices, batched and unbatched.
+    und = seeded_er_edges(60, 0.08, seed=31)
+    sym = und + [(v, u, w) for u, v, w in und]          # no dangling
+    dangling = und + [(997, 998, 1.0)]                  # 998 dangles
+    for edges, check_every in [(sym, 3), (sym, 1), (dangling, 1)]:
+        e = make_edges(spark, edges)
+        fused = pagerank(e, max_iterations=7, check_every=check_every).orderBy("vid").collect()
+        monkeypatch.setenv("SPARK_GRAFT_PR_FUSED", "0")
+        dsl = pagerank(e, max_iterations=7, check_every=check_every).orderBy("vid").collect()
+        monkeypatch.delenv("SPARK_GRAFT_PR_FUSED")
+        assert [r["vid"] for r in fused] == [r["vid"] for r in dsl]
+        got = np.array([r["rank"] for r in fused])
+        want = np.array([r["rank"] for r in dsl])
+        assert np.array_equal(got, want), f"max diff {np.abs(got - want).max()}"
