@@ -324,11 +324,11 @@ def _pagerank_run(
             prevcol = ", s.rank AS _prev" if carry_prev else ""
             dm = repr(float(dangling_mass))
             return (
-                f"SELECT /*+ COALESCE(1), SHUFFLE_HASH(c) */ s.vid, "
+                f"SELECT /*+ SHUFFLE_HASH(c) */ s.vid, "
                 f"({_d1} * s.p) + {_d} * (coalesce(c._contrib, 0.0D) + {dm} * s.p) AS rank, "
                 f"s.deg, s.p{prevcol} "
                 f"FROM {src_rel} s LEFT JOIN ("
-                f"SELECT /*+ COALESCE(1), SHUFFLE_HASH(r) */ e.dst AS vid, sum(r._c) AS _contrib "
+                f"SELECT /*+ SHUFFLE_HASH(r) */ e.dst AS vid, sum(r._c) AS _contrib "
                 f"FROM {_ev} e JOIN (SELECT vid AS src, rank / deg AS _c FROM {src_rel} WHERE deg > 0) r "
                 f"ON e.src = r.src GROUP BY e.dst) c ON s.vid = c.vid"
             )

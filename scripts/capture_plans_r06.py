@@ -54,15 +54,48 @@ def main() -> None:
 
     plans = {}
 
+    def _real_loop_plan(which: str) -> str:
+        """Capture the REAL mid-loop batch plan by wrapping the
+        operator's cut_lineage: every superstep stages through it, so
+        the last captured plan is an actual executed superstep/batch
+        (not a hand-built replica that could drift from the code)."""
+        from graph_mining_spark import checkpoint as ckpt_mod
+
+        import importlib
+
+        if which == "pagerank":
+            mod = importlib.import_module("graph_mining_spark.operators.pagerank")
+            run = lambda: mod.pagerank(sym, check_every=2, max_iterations=4).agg(
+                F.sum("rank")
+            ).first()
+        else:
+            mod = importlib.import_module(
+                "graph_mining_spark.operators.connected_components"
+            )
+            run = lambda: mod.connected_components(sym).count()
+        captured = []
+        orig = ckpt_mod.cut_lineage
+
+        def grab(df):
+            captured.append(fmt(df))
+            return orig(df)
+
+        mod.cut_lineage = grab
+        try:
+            run()
+        finally:
+            mod.cut_lineage = orig
+        return captured[-1]
+
     plans["minhash_documents"] = lambda: minhash_signatures(docs)
 
     from graph_mining_spark.session import no_adaptive
 
     def _pagerank_superstep():
-        # the broadcast-mode superstep exactly as pagerank() now builds
-        # it: caches persisted UNDER no_adaptive at size-derived
-        # partition counts (1 at this scale), rank vector the only
-        # per-superstep broadcast
+        if tag == "after":
+            return _real_loop_plan("pagerank")
+        # the broadcast-mode superstep as the pre-round-6 pagerank()
+        # built it (kept for the historical `before` capture)
         with no_adaptive(spark, 1):
             e = sym.select("src", "dst").repartition(1, "dst").persist()
             e.count()
@@ -140,9 +173,10 @@ def main() -> None:
     plans["csr_pack"] = _csr_pack
 
     def _cc_superstep():
-        # the small-regime cc superstep exactly as connected_components()
-        # now builds it: dst-partitioned cached edges, broadcast
-        # frontier, broadcast nbr_min/parent joins, AQE off
+        if tag == "after":
+            return _real_loop_plan("cc")
+        # the small-regime cc superstep as the pre-fused
+        # connected_components() built it (historical `before` capture)
         with no_adaptive(spark, 1):
             e = sym.select("src", "dst").repartition(1, "dst").persist()
             e.count()
