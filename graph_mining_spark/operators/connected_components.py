@@ -235,11 +235,17 @@ def connected_components(
                 F.sum(F.col("_chg").cast("long")).alias("metric"),
                 F.sum(F.col("_chg").cast("long")).alias("n_active"),
             )
+            # fused: eager_stats records the REAL cache statistics in
+            # the checkpointed state — the unmaterialized plan's
+            # join-product size estimate compounds across supersteps
+            # and would push every later superstep's join inputs past
+            # spark.sql.maxSinglePartitionBytes, re-introducing the
+            # per-superstep exchanges (see cut_lineage)
             if ledger is not None:
-                state = ledger.record(step, staged, observation=obs)
+                state = ledger.record(step, staged, observation=obs, eager_stats=fused)
                 n_changed = int(ledger.records[-1]["metric"])
             else:
-                state = cut_lineage(staged)
+                state = cut_lineage(staged, eager_stats=fused)
                 n_changed = int(obs.get["metric"] or 0)
             if fused:
                 # restore SinglePartition metadata on the checkpointed
@@ -338,7 +344,7 @@ def forest_components(
         .otherwise(F.col("p"))
         .alias("p"),
     ))
-    cur = cut_lineage(p)
+    cur = cut_lineage(p, eager_stats=fused)
     converged = False
     for it in range(max_doublings):
         pp = cur.select(F.col("vid").alias("p"), F.col("p").alias("_pp"))
@@ -348,7 +354,10 @@ def forest_components(
                .select("vid", F.col("_pp").alias("p"), (F.col("_pp") != F.col("p")).alias("_chg")))
             .observe(obs, F.sum(F.col("_chg").cast("long")).alias("metric"))
         )
-        cur = cut_lineage(nxt.select("vid", "p"))
+        # eager_stats under fused: see connected_components — keeps the
+        # checkpointed pointer table's size estimate REAL so the next
+        # doubling round stays exchange-free
+        cur = cut_lineage(nxt.select("vid", "p"), eager_stats=fused)
         if fused:
             cur = cur.coalesce(1)
         if int(obs.get["metric"] or 0) == 0:
